@@ -1,0 +1,43 @@
+"""Supervised protein fitness predictor: one-hot CNN regressor + ensembles.
+
+Architecture parity with the reference OnehotCNN (ppde/nets.py:350-376):
+Conv1d(V -> L, k=5, valid) -> ReLU -> Linear(L -> 2L) -> ReLU -> max over
+length -> Linear(2L -> 1). The three-seed ensemble is evaluated as one
+stacked-parameter ``vmap`` (the TPU-native form of the reference's Python
+loop over surrogates, nets.py:434-442).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ppde_tpu.models import layers
+
+
+def init(key, n_tokens: int = 20, kernel_size: int = 5, input_size: int = 96,
+         dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "encoder": layers.init_conv1d(k1, kernel_size, n_tokens, input_size, dtype),
+        "embed": layers.init_linear(k2, input_size, input_size * 2, dtype),
+        "decoder": layers.init_linear(k3, input_size * 2, 1, dtype),
+    }
+
+
+def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """x [B, L, V] one-hot (or relaxed) -> fitness [B]."""
+    h = jax.nn.relu(layers.conv1d(params["encoder"], x))
+    h = jax.nn.relu(layers.linear(params["embed"], h))
+    h = jnp.max(h, axis=1)
+    return layers.linear(params["decoder"], h)[:, 0]
+
+
+def ensemble_apply(stacked_params, x: jnp.ndarray) -> jnp.ndarray:
+    """Mean prediction of a stacked ensemble; x [B, L, V] -> [B]."""
+    preds = jax.vmap(apply, in_axes=(0, None))(stacked_params, x)
+    return jnp.mean(preds, axis=0)
+
+
+def init_ensemble(key, n_members: int = 3, **kw):
+    keys = jax.random.split(key, n_members)
+    return layers.stack_params([init(k, **kw) for k in keys])

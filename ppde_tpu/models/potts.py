@@ -1,0 +1,225 @@
+"""Potts model (dense pairwise Hamiltonian) — TPU-first formulation.
+
+The reference computes the Hamiltonian with a pair of einsums over a
+[L,L,V,V] coupling tensor (reference: ppde/nets.py:282-299). On TPU we
+flatten the couplings once, at load time, into a symmetric [L*V, L*V]
+matrix ``W`` so that each energy evaluation is ONE MXU matmul:
+
+    Jx  = x_flat @ W                     # [B, L*V]
+    H   = 0.5 * sum(x * Jx) + x @ h      # [B]
+    dH/dx = Jx + h                       # free: reuses the same matmul
+
+The analytic gradient makes the fused energy+grad evaluation (the
+reference's ``get_energy_and_grads``, ppde/energy.py:103-108, which pays a
+full autograd backward) a zero-cost epilogue: we register a custom VJP that
+saves ``Jx`` as residual. A Pallas kernel version of the same contraction
+lives in ``ppde_tpu.ops.potts_pallas``.
+
+Parameters come from (a) the reference's ``potts.pkl`` artifacts, (b) our
+own pseudolikelihood fitter (``ppde_tpu.models.potts_fit``), or (c) a
+deterministic synthetic initializer for benchmarks/tests.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppde_tpu import codec, io as pio
+
+VOCAB = codec.VOCAB_SIZE
+
+
+@struct.dataclass
+class PottsParams:
+    """Pytree of Potts parameters in MXU-friendly layout.
+
+    W: [L*V, L*V] symmetric flattened couplings, W[(j,l),(i,k)] = J[i,j,k,l],
+       with zero diagonal blocks.
+    h: [L*V] flattened fields.
+    wt_H: scalar Hamiltonian of the wild type (for delta scoring).
+    """
+
+    W: jnp.ndarray
+    h: jnp.ndarray
+    wt_H: jnp.ndarray
+    # static metadata (not traced)
+    seq_len: int = struct.field(pytree_node=False, default=0)
+    min_pos: int = struct.field(pytree_node=False, default=0)
+    max_pos: int = struct.field(pytree_node=False, default=0)
+    reg_coef: float = struct.field(pytree_node=False, default=1.0)
+
+    @property
+    def data_dim(self) -> int:
+        return self.seq_len * VOCAB
+
+
+def _flatten_couplings(J: np.ndarray) -> np.ndarray:
+    """[L,L,V,V] J[i,j,k,l] -> [L*V, L*V] W[(j,l),(i,k)] = J[i,j,k,l]."""
+    L, _, V, _ = J.shape
+    # W[j,l,i,k] = J[i,j,k,l]
+    W = np.transpose(J, (1, 3, 0, 2)).reshape(L * V, L * V)
+    return np.ascontiguousarray(W)
+
+
+def _unflatten_couplings(W: np.ndarray, L: int) -> np.ndarray:
+    """Inverse of _flatten_couplings: [L*V,L*V] -> [L,L,V,V]."""
+    J = W.reshape(L, VOCAB, L, VOCAB)  # [j,l,i,k]
+    return np.transpose(J, (2, 0, 3, 1))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _hamiltonian_flat(W: jnp.ndarray, h: jnp.ndarray, xf: jnp.ndarray):
+    """H(x) for flattened one-hots xf [B, L*V]; W symmetric, zero-diag-block."""
+    Jx = jnp.dot(xf, W, preferred_element_type=jnp.float32)
+    return 0.5 * jnp.sum(xf * Jx, axis=-1) + xf @ h
+
+
+def _hamiltonian_bwd_impl(res, g):
+    Jx, xf, W, h = res
+    gx = g[:, None] * (Jx + h[None, :])
+    # gradient w.r.t. W: 0.5 * (xf^T g xf + ...) — needed only when fitting
+    # through this op; the fitter uses its own pseudolikelihood objective, so
+    # we return symmetrized outer products for correctness.
+    gxf = g[:, None] * xf
+    gW = 0.5 * (xf.T @ gxf + gxf.T @ xf)
+    gh = jnp.sum(gxf, axis=0)
+    return gW, gh, gx
+
+
+def _hamiltonian_fwd_full(W, h, xf):
+    Jx = jnp.dot(xf, W, preferred_element_type=jnp.float32)
+    H = 0.5 * jnp.sum(xf * Jx, axis=-1) + xf @ h
+    return H, (Jx, xf, W, h)
+
+
+_hamiltonian_flat.defvjp(_hamiltonian_fwd_full, _hamiltonian_bwd_impl)
+
+
+def hamiltonian(params: PottsParams, x: jnp.ndarray) -> jnp.ndarray:
+    """Hamiltonian of one-hot (or relaxed) x [B, L, V] over the Potts window.
+
+    Parity with reference PottsModel.hamiltonian (nets.py:282-290).
+    """
+    xf = x.reshape(x.shape[0], -1)
+    return _hamiltonian_flat(params.W, params.h, xf)
+
+
+def hamiltonian_and_grad(params: PottsParams, x: jnp.ndarray):
+    """Fused (H, dH/dx) in one matmul. x is [B, L, V] (window coords)."""
+    xf = x.reshape(x.shape[0], -1)
+    Jx = jnp.dot(xf, params.W, preferred_element_type=jnp.float32)
+    H = 0.5 * jnp.sum(xf * Jx, axis=-1) + xf @ params.h
+    grad = (Jx + params.h[None, :]).reshape(x.shape)
+    return H, grad
+
+
+def window_slice(params: PottsParams, x_full: jnp.ndarray) -> jnp.ndarray:
+    """Restrict a full-sequence batch [B, L_full, V] to the alignment window.
+
+    Parity with PottsModel.preprocess_onehot (nets.py:273-280).
+    """
+    return x_full[:, params.min_pos : params.max_pos + 1]
+
+
+def score(params: PottsParams, x_full: jnp.ndarray, delta: bool = True):
+    """Potts score of full-coordinate one-hots (window-sliced internally)."""
+    H = hamiltonian(params, window_slice(params, x_full))
+    return H - params.wt_H if delta else H
+
+
+def score_and_grad(params: PottsParams, x_full: jnp.ndarray, delta: bool = True):
+    """Fused (score, d score / d x_full) — grad zero outside the window."""
+    xw = window_slice(params, x_full)
+    H, gw = hamiltonian_and_grad(params, xw)
+    grad = jnp.zeros_like(x_full)
+    grad = jax.lax.dynamic_update_slice(grad, gw, (0, params.min_pos, 0))
+    return (H - params.wt_H if delta else H), grad
+
+
+# ---------------------------------------------------------------------------
+# parameter construction / serialization
+# ---------------------------------------------------------------------------
+
+def _build(J: np.ndarray, h: np.ndarray, index_list: np.ndarray,
+           reg_coef: float, offset: int, wt_seq: str,
+           dtype=jnp.float32) -> PottsParams:
+    L = h.shape[0]
+    W = _flatten_couplings(np.asarray(J, np.float64)).astype(np.float32)
+    hf = np.asarray(h, np.float32).reshape(L * VOCAB)
+    idx = np.asarray(index_list) - offset
+    min_pos, max_pos = int(idx[0]), int(idx[-1])
+    params = PottsParams(
+        W=jnp.asarray(W, dtype), h=jnp.asarray(hf, dtype),
+        wt_H=jnp.zeros(()), seq_len=L, min_pos=min_pos, max_pos=max_pos,
+        reg_coef=float(reg_coef),
+    )
+    wt_window = wt_seq[min_pos : max_pos + 1]
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([wt_window]))
+    wt_H = hamiltonian(params, wt_oh)[0]
+    return params.replace(wt_H=wt_H)
+
+
+def load_pickle(protein_dir: str, dtype=jnp.float32) -> PottsParams:
+    """Load the reference's potts.pkl + wt.fasta artifact pair.
+
+    Artifact contract per reference PottsModel.__init__ (nets.py:244-262):
+    pickle keys J_ij [L,L,V,V], h_i [L,V], index_list (absolute residue
+    numbers), reg_coef; the FASTA id encodes the window offset
+    ('>NAME/START-END' -> offset=START, else 1).
+    """
+    with open(os.path.join(protein_dir, "potts.pkl"), "rb") as f:
+        p = pickle.load(f)
+    wt_seqs, wt_ids = pio.read_fasta(
+        os.path.join(protein_dir, "wt.fasta"), return_ids=True)
+    offset = int(wt_ids[0].split("/")[-1].split("-")[0]) if "/" in wt_ids[0] else 1
+    return _build(p["J_ij"], p["h_i"], p["index_list"], p["reg_coef"],
+                  offset, wt_seqs[0], dtype)
+
+
+def load_npz(path: str, wt_seq: str, dtype=jnp.float32) -> PottsParams:
+    """Load parameters saved by save_npz (our native artifact format)."""
+    z = np.load(path)
+    return _build(z["J"], z["h"], z["index_list"], float(z["reg_coef"]),
+                  int(z["offset"]), wt_seq, dtype)
+
+
+def save_npz(path: str, J: np.ndarray, h: np.ndarray, index_list: np.ndarray,
+             reg_coef: float, offset: int) -> None:
+    np.savez_compressed(path, J=J, h=h, index_list=index_list,
+                        reg_coef=reg_coef, offset=offset)
+
+
+def synthetic(wt_seq: str, min_pos: int = 0, max_pos: int | None = None,
+              seed: int = 0, coupling_scale: float = 0.05,
+              field_scale: float = 0.5, dtype=jnp.float32) -> PottsParams:
+    """Deterministic synthetic Potts parameters for benchmarks and tests.
+
+    Shapes and invariants (symmetry, zero diagonal blocks) match a real fit;
+    values are Gaussian. Used where the reference's potts.pkl blobs are
+    missing from the repo (.MISSING_LARGE_BLOBS).
+    """
+    if max_pos is None:
+        max_pos = len(wt_seq) - 1
+    L = max_pos - min_pos + 1
+    rng = np.random.default_rng(seed)
+    J = rng.normal(0.0, coupling_scale, (L, L, VOCAB, VOCAB))
+    J = 0.5 * (J + np.transpose(J, (1, 0, 3, 2)))  # J_ij == J_ji^T
+    J[np.arange(L), np.arange(L)] = 0.0
+    h = rng.normal(0.0, field_scale, (L, VOCAB))
+    # favor the WT letters slightly so WT is near a local optimum
+    wt_idx = codec.seqs_to_ints([wt_seq[min_pos : max_pos + 1]])[0]
+    h[np.arange(L), wt_idx] += 2.0 * field_scale
+    index_list = np.arange(min_pos, max_pos + 1)
+    return _build(J, h, index_list, 1.0, 0, wt_seq, dtype)
+
+
+def as_dense_J(params: PottsParams) -> np.ndarray:
+    """Recover the [L,L,V,V] coupling tensor (for export/inspection)."""
+    return _unflatten_couplings(np.asarray(params.W, np.float64), params.seq_len)
