@@ -1,0 +1,178 @@
+"""Product-of-experts energy composition.
+
+Parity with the reference energy layer (ppde/energy.py:13-164): four energy
+families with a uniform API —
+  * ``energy(x) -> (e, fit)``
+  * ``energy_and_grad(x) -> (e, fit, grad_x)``
+  * ``fitness(x) -> fit``  (the reference's get_supervised_expert)
+
+Differences by design:
+  * energies are pure closures over parameter pytrees, jit/vmap/scan-safe;
+  * the Potts gradient is analytic (one shared MXU matmul; potts.py), so the
+    fused energy+grad pays no autodiff backward for the unsupervised term;
+  * the reference's minibatched transformer loop (energy.py:114-130) becomes
+    an optional ``lax.map`` over chain chunks — one compiled program, no
+    host round trips;
+  * the reference's MNIST PoE ``self.supervised`` AttributeError
+    (energy.py:42) is fixed: the supervised ensemble is what's called.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ppde_tpu.models import cnn, mnist_nets
+from ppde_tpu.models import potts as potts_mod
+
+
+@dataclass(frozen=True)
+class Energy:
+    """Uniform energy API consumed by every sampler."""
+
+    energy: Callable
+    energy_and_grad: Callable
+    fitness: Callable
+    wt_onehot: Any = None  # [1, L, V] wild-type one-hot (protein domains)
+
+
+def _vjp_sum(f, x):
+    """(f(x), d sum(f(x)) / dx) without materializing a Jacobian."""
+    y, vjp = jax.vjp(f, x)
+    (gx,) = vjp(jnp.ones_like(y))
+    return y, gx
+
+
+# ---------------------------------------------------------------------------
+# protein energies
+# ---------------------------------------------------------------------------
+
+def protein_poe(potts_params: potts_mod.PottsParams, sup_ensemble,
+                lam: float, wt_onehot, transformer=None,
+                chunk_size: int | None = None) -> Energy:
+    """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
+
+    ``transformer``: optional (params, apply_fn) pair adding an ESM2
+    pseudo-log-likelihood delta term (reference 'transformer' /
+    'potts+transformer' experts, energy.py:83-89). ``potts_params`` may be
+    None for transformer-only. ``chunk_size`` maps the transformer (and its
+    gradient) over chain chunks to bound memory for large models.
+    """
+
+    def fit_fn(x):
+        return cnn.ensemble_apply(sup_ensemble, x)
+
+    def unsup_score(x):
+        e = 0.0
+        if potts_params is not None:
+            e = e + potts_mod.score(potts_params, x, delta=True)
+        if transformer is not None:
+            t_params, t_apply = transformer
+            e = e + t_apply(t_params, x)
+        return e
+
+    def energy(x):
+        fit = fit_fn(x)
+        return unsup_score(x) + lam * fit, fit
+
+    def transformer_score_and_grad(x):
+        t_params, t_apply = transformer
+
+        def one_chunk(xc):
+            return _vjp_sum(lambda v: t_apply(t_params, v), xc)
+
+        if chunk_size is None or x.shape[0] <= chunk_size:
+            return one_chunk(x)
+        n = x.shape[0]
+        xs = x.reshape(n // chunk_size, chunk_size, *x.shape[1:])
+        es, gs = jax.lax.map(one_chunk, xs)
+        return es.reshape(n), gs.reshape(x.shape)
+
+    def energy_and_grad(x):
+        fit, fit_grad = _vjp_sum(fit_fn, x)
+        e = lam * fit
+        grad = lam * fit_grad
+        if potts_params is not None:
+            pe, pg = potts_mod.score_and_grad(potts_params, x, delta=True)
+            e = e + pe
+            grad = grad + pg
+        if transformer is not None:
+            te, tg = transformer_score_and_grad(x)
+            e = e + te
+            grad = grad + tg
+        return e, fit, grad
+
+    return Energy(energy=energy, energy_and_grad=energy_and_grad,
+                  fitness=fit_fn, wt_onehot=wt_onehot)
+
+
+def protein_supervised(sup_ensemble, wt_onehot) -> Energy:
+    """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
+
+    def fit_fn(x):
+        return cnn.ensemble_apply(sup_ensemble, x)
+
+    def energy(x):
+        fit = fit_fn(x)
+        return fit, fit
+
+    def energy_and_grad(x):
+        fit, g = _vjp_sum(fit_fn, x)
+        return fit, fit, g
+
+    return Energy(energy=energy, energy_and_grad=energy_and_grad,
+                  fitness=fit_fn, wt_onehot=wt_onehot)
+
+
+# ---------------------------------------------------------------------------
+# MNIST energies (binary images; x2 evolves, x1 is the fixed summand)
+# ---------------------------------------------------------------------------
+
+def mnist_poe(unsup_params, sup_ensemble, lam: float,
+              unsup_kind: str = "ebm") -> Energy:
+    """E(x2; x1) = log p_unsup(x2) + lam * predicted_sum(x1, x2).
+
+    unsup_kind: 'ebm' (ResNet EBM + Bernoulli base, mlp.py:175-196) or
+    'dae' (reconstruction log-prob, nets.py:162-168). Parity with
+    MNISTProductOfExperts (energy.py:13-51), with the supervised-attr bug
+    fixed.
+    """
+    log_prob = (mnist_nets.ebm_log_prob if unsup_kind == "ebm"
+                else mnist_nets.dae_log_prob)
+
+    def fit_fn(x2, x1):
+        return mnist_nets.regression_ensemble_apply(sup_ensemble, x1, x2)
+
+    def energy(x2, x1):
+        fit = fit_fn(x2, x1)
+        return log_prob(unsup_params, x2) + lam * fit, fit
+
+    def energy_and_grad(x2, x1):
+        def e_fn(v):
+            fit = fit_fn(v, x1)
+            e = log_prob(unsup_params, v) + lam * fit
+            return jnp.sum(e), (e, fit)
+
+        (_, (e, fit)), grad = jax.value_and_grad(e_fn, has_aux=True)(x2)
+        return e, fit, grad
+
+    return Energy(energy=energy, energy_and_grad=energy_and_grad, fitness=fit_fn)
+
+
+def mnist_supervised(sup_ensemble) -> Energy:
+    """Supervised-only MNIST energy (energy.py:54-68)."""
+
+    def fit_fn(x2, x1):
+        return mnist_nets.regression_ensemble_apply(sup_ensemble, x1, x2)
+
+    def energy(x2, x1):
+        fit = fit_fn(x2, x1)
+        return fit, fit
+
+    def energy_and_grad(x2, x1):
+        fit, g = _vjp_sum(lambda v: fit_fn(v, x1), x2)
+        return fit, fit, g
+
+    return Energy(energy=energy, energy_and_grad=energy_and_grad, fitness=fit_fn)

@@ -46,7 +46,8 @@ def conv_transpose2d(p, x, stride=2, padding=1, output_padding=1):
     k = p["w"].shape[0]
     lo = k - 1 - padding
     hi = k - 1 - padding + output_padding
-    w = jnp.flip(p["w"], axis=(0, 1))
+    # stored [kh,kw,out,in]: flip spatially and swap channel axes to HWIO
+    w = jnp.flip(p["w"], axis=(0, 1)).transpose(0, 1, 3, 2)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         lhs_dilation=(stride, stride),

@@ -1,0 +1,161 @@
+"""PPDE sampler for binary MNIST: Gibbs-With-Gradients / Path-Auxiliary.
+
+Parity with the reference PPDE (mnist_samplers/ppde.py:10-173): Taylor
+first-order flip-score proposal grad * (-(2x-1)) / 2, pixel-flip
+OneHotCategorical over 784 positions; two modes —
+  * pas_length > 0: PAS path of U ~ U[1, 2*pas_len) gated intermediate flips
+    (first flip always applied, :84-88) with reverse-path log-ratio;
+  * pas_length == 0: multi-sample GWG with n_samples ~ U[1, 2*gwg_samples)
+    flips applied as a union (:79-88,125-137).
+MH accept per chain with strict '>' (:141, vs protein's '>=').
+
+TPU-first: the per-step variable n_samples / path length become static
+maxima with masking; the whole step is scanned (no host syncs).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppde_tpu import utils
+from ppde_tpu.energy import Energy
+from ppde_tpu.samplers import base
+
+
+@dataclasses.dataclass(frozen=True)
+class MNISTPPDEConfig:
+    pas_length: int = 10
+    gwg_samples: int = 1
+    temp: float = 2.0
+
+
+def _flip_scores(x, grad):
+    """Flip score (approximate energy change) per pixel: grad * -(2x-1)."""
+    return grad * -(2.0 * x - 1.0)
+
+
+def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
+    max_u = max(2 * cfg.pas_length - 1, 1)
+    n, D = x1.shape
+
+    def inner(carry, key_and_t):
+        x, grad, U = carry
+        key, t = key_and_t
+        logits = _flip_scores(x, grad) / cfg.temp
+        idx, logp = utils.categorical_onehot(key, logits)
+        flip = jax.nn.one_hot(idx, D, dtype=x.dtype)
+        x_new = utils.flip_bits(x, flip)
+        # first flip (t==0) is always applied; later flips gated by t < U
+        live = ((t == 0) | (t < U)).reshape(n, 1).astype(x.dtype)
+        x_next = live * x_new + (1 - live) * x
+        return (x_next, grad, U), (idx, logp, x_next)
+
+    def step(state, key):
+        x2, cur_e, cur_fit, best = state
+        k_u, k_inner, k_acc = jax.random.split(key, 3)
+        U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
+        u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
+        u_mask = u_mask.at[:, 0].set(1.0)  # first flip ungated
+
+        e_cur, fit_cur, grad = energy.energy_and_grad(x2, x1)
+        keys = jax.random.split(k_inner, max_u)
+        (y, _, _), (idxs, fwd_logps, traj) = jax.lax.scan(
+            inner, (x2, grad, U), (keys, jnp.arange(max_u)))
+
+        e_prop, fit_prop, grad_y = energy.energy_and_grad(y, x1)
+        rev_logits = _flip_scores(traj, grad_y[None]) / cfg.temp
+        rev_logps = jax.vmap(utils.categorical_log_prob)(rev_logits, idxs)
+        log_ratio = jnp.sum(u_mask.T * (rev_logps - fwd_logps), axis=0)
+
+        la = (e_prop - e_cur) + log_ratio
+        accepted = jnp.exp(la) > jax.random.uniform(k_acc, (n,))
+        acc2 = accepted.reshape(n, 1)
+        new_x2 = jnp.where(acc2, y, x2)
+        new_e = jnp.where(accepted, e_prop, e_cur)
+        new_fit = jnp.where(accepted, fit_prop, fit_cur)
+
+        best = base.update_best(best, new_e, new_fit, new_x2)
+        ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
+              "traj": new_x2[0]}
+        return (new_x2, new_e, new_fit, best), ys
+
+    return step
+
+
+def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
+    max_s = max(2 * cfg.gwg_samples - 1, 1)
+    n, D = x1.shape
+
+    def step(state, key):
+        x2, cur_e, cur_fit, best = state
+        k_n, k_s, k_acc = jax.random.split(key, 3)
+        n_samples = jax.random.randint(k_n, (), 1, 2 * cfg.gwg_samples)
+
+        e_cur, fit_cur, grad = energy.energy_and_grad(x2, x1)
+        fwd_logits = _flip_scores(x2, grad) / cfg.temp
+        idxs = jax.random.categorical(k_s, fwd_logits, axis=-1,
+                                      shape=(max_s, n))
+        live = (jnp.arange(max_s) < n_samples).astype(x2.dtype)  # [max_s]
+        onehots = jax.nn.one_hot(idxs, D, dtype=x2.dtype)  # [max_s, n, D]
+        changes = (jnp.einsum("s,snd->nd", live, onehots) > 0).astype(x2.dtype)
+        y = utils.flip_bits(x2, changes)
+
+        e_prop, fit_prop, grad_y = energy.energy_and_grad(y, x1)
+        rev_logits = _flip_scores(y, grad_y) / cfg.temp
+        fwd_lp = jax.vmap(utils.categorical_log_prob, in_axes=(None, 0))(
+            fwd_logits, idxs)  # [max_s, n]
+        rev_lp = jax.vmap(utils.categorical_log_prob, in_axes=(None, 0))(
+            rev_logits, idxs)
+        log_ratio = jnp.sum(live[:, None] * (rev_lp - fwd_lp), axis=0)
+
+        la = (e_prop - e_cur) + log_ratio
+        accepted = jnp.exp(la) > jax.random.uniform(k_acc, (n,))
+        acc2 = accepted.reshape(n, 1)
+        new_x2 = jnp.where(acc2, y, x2)
+        new_e = jnp.where(accepted, e_prop, e_cur)
+        new_fit = jnp.where(accepted, fit_prop, fit_cur)
+
+        best = base.update_best(best, new_e, new_fit, new_x2)
+        ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
+              "traj": new_x2[0]}
+        return (new_x2, new_e, new_fit, best), ys
+
+    return step
+
+
+def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
+        min_pos: int = 0, max_pos: int = 784, oracle_fn=None,
+        cfg: MNISTPPDEConfig | None = None, key: jax.Array | None = None,
+        log_every: int = 50, quiet: bool = False) -> base.SamplerResult:
+    cfg = cfg or MNISTPPDEConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    pop = jnp.asarray(initial_population)
+    D = pop.shape[1] // 2
+    x1, x2 = pop[:, :D], pop[:, D:]
+
+    e0, fit0 = jax.jit(lambda v: energy.energy(v, x1))(x2)
+    best0 = (e0, fit0, x2)
+    make = _make_step_pas if cfg.pas_length > 0 else _make_step_gwg
+    step = make(energy, cfg, x1)
+
+    oracle_state_fn = (lambda s: oracle_fn(s[0], x1)) if oracle_fn else None
+    (final_x2, _, _, best), rec = base.run_segmented(
+        step_fn=step, init_state=(x2, e0, fit0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_state_fn,
+        log_fn=base.default_log("PPDE"), quiet=quiet)
+
+    best_e, best_fit, best_x = jax.device_get(best)
+    return base.SamplerResult(
+        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
+        best_fitness=np.asarray(best_fit),
+        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
+        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
+        random_traj=np.concatenate([np.asarray(x2[0])[None], rec["traj"]], 0),
+        final_x=np.asarray(jax.device_get(final_x2)),
+        oracle_history=rec["oracle"],
+        n_accepted=rec["accepted"].sum(-1),
+        steps_per_sec=rec["steps_per_sec"],
+    )

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppde_tpu import codec, energy as energy_mod
+from ppde_tpu.models import cnn, mnist_nets, potts
+
+WT = "ACDEFGHIKLMNPQRS"  # 16 residues
+
+
+@pytest.fixture(scope="module")
+def poe():
+    pp = potts.synthetic(WT, min_pos=1, max_pos=14, seed=3)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    return energy_mod.protein_poe(pp, ens, lam=2.5, wt_onehot=wt_oh)
+
+
+def test_protein_poe_grad_matches_autodiff(poe, rng):
+    x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
+    e, fit, grad = poe.energy_and_grad(x)
+    e2, fit2 = poe.energy(x)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit2), rtol=1e-5)
+
+    g_auto = jax.grad(lambda v: poe.energy(v)[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_protein_poe_lambda_composition(rng):
+    pp = potts.synthetic(WT, seed=3)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
+    e0, fit = energy_mod.protein_poe(pp, ens, 0.0, wt_oh).energy(x)
+    e5, _ = energy_mod.protein_poe(pp, ens, 5.0, wt_oh).energy(x)
+    np.testing.assert_allclose(np.asarray(e5 - e0), 5.0 * np.asarray(fit),
+                               rtol=1e-4)
+    # lam=0 energy is the pure potts delta
+    np.testing.assert_allclose(np.asarray(e0),
+                               np.asarray(potts.score(pp, x, delta=True)),
+                               rtol=1e-5)
+
+
+def test_protein_supervised(rng):
+    ens = cnn.init_ensemble(jax.random.PRNGKey(1), 3, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    en = energy_mod.protein_supervised(ens, wt_oh)
+    x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
+    e, fit, grad = en.energy_and_grad(x)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(fit))
+    g_auto = jax.grad(lambda v: en.energy(v)[0].sum())(x)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_protein_poe_chunked_transformer_path(rng):
+    """The chunked lax.map transformer path must equal the unchunked one."""
+    pp = potts.synthetic(WT, seed=3)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (len(WT), 20))
+
+    def toy_transformer(params, x):
+        return jnp.tanh((x * params).sum((-1, -2)))
+
+    e1 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh, transformer=(w, toy_transformer))
+    e2 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh, transformer=(w, toy_transformer),
+                                chunk_size=2)
+    x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (8, len(WT)))))
+    a = e1.energy_and_grad(x)
+    b = e2.energy_and_grad(x)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_mnist_poe_grad(rng):
+    ens = mnist_nets.regression_init_ensemble(jax.random.PRNGKey(0), 2, nc=4)
+    ebm = mnist_nets.ebm_init(jax.random.PRNGKey(1), n_channels=4,
+                              mean=0.3 * np.ones(784))
+    en = energy_mod.mnist_poe(ebm, ens, lam=10.0, unsup_kind="ebm")
+    x1 = jnp.asarray((rng.random((3, 784)) > 0.5).astype(np.float32))
+    x2 = jnp.asarray((rng.random((3, 784)) > 0.5).astype(np.float32))
+    e, fit, grad = en.energy_and_grad(x2, x1)
+    e2, fit2 = en.energy(x2, x1)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e2), rtol=1e-4)
+    g_auto = jax.grad(lambda v: en.energy(v, x1)[0].sum())(x2)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mnist_dae_energy(rng):
+    ens = mnist_nets.regression_init_ensemble(jax.random.PRNGKey(0), 2, nc=4)
+    dae = mnist_nets.dae_init(jax.random.PRNGKey(1), latent_dim=4, n_channels=4)
+    en = energy_mod.mnist_poe(dae, ens, lam=1.0, unsup_kind="dae")
+    x1 = jnp.asarray((rng.random((2, 784)) > 0.5).astype(np.float32))
+    x2 = jnp.asarray((rng.random((2, 784)) > 0.5).astype(np.float32))
+    e, fit = en.energy(x2, x1)
+    assert e.shape == fit.shape == (2,)
+    logp = mnist_nets.dae_log_prob(dae, x2)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(logp + fit), rtol=1e-4)

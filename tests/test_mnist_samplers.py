@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppde_tpu import energy as energy_mod
+from ppde_tpu.models import mnist_nets
+from ppde_tpu.samplers.mnist import cmaes, mala_approx, ppde, sa
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ens = mnist_nets.regression_init_ensemble(jax.random.PRNGKey(0), 2, nc=4)
+    ebm = mnist_nets.ebm_init(jax.random.PRNGKey(1), n_channels=4,
+                              mean=0.3 * np.ones(784, np.float32))
+    en = energy_mod.mnist_poe(ebm, ens, lam=1.0, unsup_kind="ebm")
+    oracle_params = mnist_nets.regression_init(jax.random.PRNGKey(2), nc=4)
+    oracle = jax.jit(lambda x2, x1: mnist_nets.regression_apply(
+        oracle_params, x1, x2))
+    rng = np.random.default_rng(0)
+    x1 = (rng.random((6, 784)) > 0.7).astype(np.float32)
+    x2 = (rng.random((6, 784)) > 0.7).astype(np.float32)
+    pop = jnp.asarray(np.concatenate([x1, x2], 1))
+    return en, oracle, pop
+
+
+def check_common(res, pop):
+    n = pop.shape[0]
+    assert res.final_x.shape == (n, 784)
+    assert set(np.unique(res.final_x)).issubset({0.0, 1.0})
+    assert res.best_x.shape == (n, 784)
+    assert np.all(np.isfinite(res.best_energy))
+
+
+def test_ppde_pas_run(setup):
+    en, oracle, pop = setup
+    res = ppde.run(en, pop, 20, oracle_fn=oracle,
+                   cfg=ppde.MNISTPPDEConfig(pas_length=3),
+                   key=jax.random.PRNGKey(0), log_every=10, quiet=True)
+    check_common(res, pop)
+    assert res.energy_history.shape == (21, 6)
+    assert res.random_traj.shape == (21, 784)
+    np.testing.assert_allclose(res.best_energy, res.energy_history.max(0),
+                               rtol=1e-4)
+
+
+def test_ppde_gwg_run(setup):
+    en, oracle, pop = setup
+    res = ppde.run(en, pop, 20, oracle_fn=oracle,
+                   cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=3),
+                   key=jax.random.PRNGKey(1), log_every=10, quiet=True)
+    check_common(res, pop)
+    # GWG proposals flip up to 2*gwg_samples-1 pixels per step
+    assert res.n_accepted.sum() > 0
+
+
+def test_gwg_single_flip_changes_one_pixel(setup):
+    en, oracle, pop = setup
+    res = ppde.run(en, pop, 1, oracle_fn=None,
+                   cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=1),
+                   key=jax.random.PRNGKey(2), log_every=1, quiet=True)
+    x2 = np.asarray(pop[:, 784:])
+    diff = (res.final_x != x2).sum(-1)
+    assert np.all(diff <= 1)  # accepted chains flip exactly 1 pixel
+
+
+def test_sa_run(setup):
+    en, oracle, pop = setup
+    res = sa.run(en, pop, 20, oracle_fn=oracle,
+                 cfg=sa.MNISTSAConfig(temp=10.0),
+                 key=jax.random.PRNGKey(3), log_every=10, quiet=True)
+    check_common(res, pop)
+
+
+def test_mala_run(setup):
+    en, oracle, pop = setup
+    res = mala_approx.run(en, pop, 20, oracle_fn=oracle,
+                          cfg=mala_approx.MNISTMALAConfig(step_size=0.1),
+                          key=jax.random.PRNGKey(4), log_every=10, quiet=True)
+    check_common(res, pop)
+
+
+def test_cmaes_run(setup):
+    en, oracle, pop = setup
+    res = cmaes.run(en, pop, 12, oracle_fn=oracle,
+                    cfg=cmaes.MNISTCMAESConfig(population_size=6),
+                    log_every=6, quiet=True)
+    check_common(res, pop)
+    # best sorted by energy descending
+    assert np.all(np.diff(res.best_energy) <= 1e-6)
+
+
+def test_gwg_boltzmann_stationarity():
+    """Gold test: single-flip GWG must sample the exact Boltzmann
+    distribution of a tiny quadratic binary energy (detailed balance of the
+    full propose/accept machinery)."""
+    D = 5
+    rng = np.random.default_rng(0)
+    W = rng.normal(0, 1.0, (D, D))
+    W = (W + W.T) / 2
+    np.fill_diagonal(W, 0)
+    b = rng.normal(0, 1.0, D)
+
+    def e_fn(x2, x1):
+        e = 0.5 * jnp.einsum("nd,de,ne->n", x2, W, x2) + x2 @ b
+        return e, e
+
+    def e_and_grad(x2, x1):
+        e, _ = e_fn(x2, x1)
+        grad = x2 @ W + b[None]
+        return e, e, grad
+
+    en = energy_mod.Energy(energy=e_fn, energy_and_grad=e_and_grad,
+                           fitness=lambda x2, x1: e_fn(x2, x1)[0])
+
+    n_chains, n_steps, burn = 64, 1500, 300
+    x0 = (rng.random((n_chains, D)) > 0.5).astype(np.float32)
+    pop = jnp.asarray(np.concatenate([x0, x0], 1))
+    res = ppde.run(en, pop, n_steps, oracle_fn=None,
+                   cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=1),
+                   key=jax.random.PRNGKey(9), log_every=n_steps, quiet=True)
+
+    # empirical state distribution from the recorded energies is awkward;
+    # instead re-run capturing trajectories via the single tracked chain of
+    # many independent short runs is costly — use energy moments: compare
+    # E[energy] under empirical samples vs exact Boltzmann.
+    states = np.array(np.meshgrid(*([[0, 1]] * D))).reshape(D, -1).T
+    es = 0.5 * np.einsum("nd,de,ne->n", states, W, states) + states @ b
+    p = np.exp(es - es.max())
+    p /= p.sum()
+    exact_mean_e = (p * es).sum()
+    emp_mean_e = res.energy_history[burn:].mean()
+    assert abs(emp_mean_e - exact_mean_e) < 0.15, (emp_mean_e, exact_mean_e)
