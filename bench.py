@@ -1,0 +1,192 @@
+"""Benchmark: PPDE-PAS chain-steps/sec on GFP at 128 chains (one chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The headline configuration follows the reference's canonical run
+(BASELINE.md: GFP, 128 chains, pas_length=2, nmut_threshold=10,
+product-of-experts potts+CNN-ensemble energy). potts.pkl for GFP is a
+missing blob in the reference repo, so couplings are synthetic with the real
+GFP dimensions (L=238, i.e. a 4760x4760 coupling matmul per energy eval —
+the true compute shape).
+
+vs_baseline: ratio of our chain-steps/sec to a faithful PyTorch
+reimplementation of the reference's hot loop (einsum Hamiltonian +
+autograd backward, protein_samplers/ppde.py:79-132) measured on this host's
+CPU — the only hardware the reference stack can run on here. The north-star
+target in BASELINE.json is 50x the reference on its own (GPU) hardware;
+vs_baseline > 50 against CPU-torch comfortably implies the bar only if
+our absolute number is also high, so we report absolute chain-steps/s as
+the headline value.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+GFP_WT = (
+    "SKGEELFTGVVPILVELDGDVNGHKFSVSGEGEGDATYGKLTLKFICTTGKLPVPWPTLVTTLSYGVQCFSRY"
+    "PDHMKQHDFFKSAMPEGYVQERTIFFKDDGNYKTRAEVKFEGDTLVNRIELKGIDFKEDGNILGHKLEYNYNS"
+    "HNVYIMADKQKNGIKVNFKIRHNIEDGSVQLADHYQQNTPIGDGPVLLPDNHYLSTQSALSKDPNEKRDHMVL"
+    "LEFVTAAGITHGMDELYK"
+)
+
+N_CHAINS = 128
+
+
+def _log(msg):
+    import sys
+    import time
+    print(f"[bench +{time.perf_counter():.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def bench_jax(steps: int, warmup: int, dtype: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ppde_tpu import codec, energy as energy_mod, utils
+    from ppde_tpu.models import cnn, potts
+    from ppde_tpu.samplers.protein import ppde as ppde_mod
+
+    jdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    _log("building potts")
+    pp = potts.synthetic(GFP_WT, seed=0, dtype=jdt)
+    _log("potts built")
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(GFP_WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([GFP_WT]))
+    en = energy_mod.protein_poe(pp, ens, lam=15.0, wt_onehot=wt_oh)
+    pop = jnp.repeat(wt_oh, N_CHAINS, axis=0)
+    window_ok = utils.position_window_mask(len(GFP_WT), 20, 0, len(GFP_WT) - 1)
+    cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
+    n, L, V = pop.shape
+    step = ppde_mod.make_step(en, cfg, window_ok, n, L, V)
+    ctx = {"energy": en.params, "wt": pop[0], "init_x": pop}
+
+    def scan_steps(ctx, state, key, n_steps):
+        keys = jax.random.split(key, n_steps)
+
+        def body(s, k):
+            s, ys = step(ctx, s, k)
+            # keep only scalar stats per step: no big history transfers in
+            # the timing loop (logging cadence transfers are measured by the
+            # sampler-level numbers in PROGRESS, not the kernel bench)
+            return s, (ys["energy"][0], ys["accepted"].sum())
+
+        return jax.lax.scan(body, state, keys)
+
+    run = jax.jit(scan_steps, static_argnums=3)
+    e0, fit0 = jax.jit(en.energy)(ctx["energy"], pop)
+    state = (pop, (e0, fit0, pop))
+    _log("energy compiled; warmup scan starting")
+
+    state, _ = jax.block_until_ready(
+        run(ctx, state, jax.random.PRNGKey(1), warmup))
+    _log("warmup done; timed scan starting")
+    # compile the timed length before timing
+    state, _ = jax.block_until_ready(
+        run(ctx, state, jax.random.PRNGKey(3), steps))
+    _log("timed-length compile done; timing")
+    t0 = time.perf_counter()
+    state, ys = jax.block_until_ready(
+        run(ctx, state, jax.random.PRNGKey(2), steps))
+    dt = time.perf_counter() - t0
+    _log(f"done: {steps/dt:.1f} steps/s")
+    return steps / dt
+
+
+def bench_torch_reference(steps: int = 2) -> float:
+    """Faithful torch reimplementation of the reference PPDE-PAS hot loop
+    (energy fwd+bwd x2, PAS inner loop, MH accept) on this host's CPU."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+    L, V, N = len(GFP_WT), 20, N_CHAINS
+    rng = np.random.default_rng(0)
+    J = torch.tensor(rng.normal(0, 0.05, (L, L, V, V)), dtype=torch.float32)
+    J = 0.5 * (J + J.permute(1, 0, 3, 2))
+    h = torch.tensor(rng.normal(0, 0.5, (L, V)), dtype=torch.float32)
+    enc = torch.nn.Conv1d(V, L, 5)
+    emb = torch.nn.Linear(L, 2 * L)
+    dec = torch.nn.Linear(2 * L, 1)
+
+    def energy(x):
+        Jx = torch.einsum("ijkl,bjl->bik", J, x)
+        e = torch.einsum("aik,aik->a", Jx, x) / 2 + (h[None] * x).sum((-1, -2))
+        hdd = torch.relu(enc(x.transpose(1, 2)).transpose(1, 2))
+        hdd = torch.relu(emb(hdd)).max(1)[0]
+        return e + 15.0 * dec(hdd).squeeze(-1)
+
+    x = torch.zeros(N, L, V)
+    x[:, torch.arange(L), torch.tensor([ord(c) % V for c in GFP_WT])] = 1.0
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        for _endpoint in range(2):  # current state + proposal endpoint
+            xg = x.clone().requires_grad_()
+            e = energy(xg)
+            (grad,) = torch.autograd.grad([e.sum()], [xg])
+        for _inner in range(3):  # pas inner path (max_u for pas_length=2)
+            score = grad - (grad * x).sum(-1, keepdim=True)
+            probs = torch.softmax(score.reshape(N, -1) / 2.0, -1)
+            idx = torch.multinomial(probs, 1)[:, 0]
+            p, v = idx // V, idx % V
+            x[torch.arange(N), p] = 0.0
+            x[torch.arange(N), p, v] = 1.0
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--measure-torch", action="store_true",
+                    help="re-measure the torch-CPU reference baseline and "
+                         "cache it in tools/torch_baseline.json")
+    ap.add_argument("--torch-steps", type=int, default=1)
+    args = ap.parse_args()
+
+    jax_sps = bench_jax(args.steps, args.warmup, args.dtype)
+    chain_sps = jax_sps * N_CHAINS
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "torch_baseline.json")
+    torch_sps = None
+    if args.measure_torch:
+        torch_sps = bench_torch_reference(args.torch_steps)
+        with open(cache, "w") as f:
+            json.dump({"torch_cpu_steps_per_sec": torch_sps,
+                       "n_chains": N_CHAINS, "protein": "GFP"}, f)
+    elif not args.skip_torch and os.path.exists(cache):
+        with open(cache) as f:
+            torch_sps = json.load(f)["torch_cpu_steps_per_sec"]
+    elif not args.skip_torch:
+        torch_sps = bench_torch_reference(args.torch_steps)
+    vs = (jax_sps / torch_sps) if torch_sps else 0.0
+
+    print(json.dumps({
+        "metric": "ppde_pas_chain_steps_per_sec_gfp128",
+        "value": round(chain_sps, 1),
+        "unit": "chain-steps/s",
+        "vs_baseline": round(vs, 2),
+        "detail": {
+            "sampler_steps_per_sec": round(jax_sps, 2),
+            "n_chains": N_CHAINS,
+            "torch_cpu_reference_steps_per_sec": (
+                round(torch_sps, 4) if torch_sps else None),
+            "dtype": args.dtype,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

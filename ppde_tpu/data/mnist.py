@@ -1,0 +1,150 @@
+"""MNIST-sum dataset: pairs of digits whose sum is bounded.
+
+Parity with the reference dataset (data/mnist.py:9-164 and the Larochelle
+binary-MNIST loader used for DAE/EBM training,
+third_party/grathwohl/vamp_utils.py): pair indices come from the committed
+``MNISTsum{10,18}_{split}.txt`` files; images are dynamically binarized with
+optional pixel-flip noise and label noise during training.
+
+This environment has no network access, so raw MNIST must already exist on
+disk. ``load_raw_mnist`` accepts:
+  * a torchvision-style processed directory,
+  * .npy/.npz dumps ({split}_images.npy / {split}_labels.npy),
+  * `synthetic` — a deterministic fake for pipeline tests.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import numpy as np
+
+
+def load_pair_indices(path: str) -> np.ndarray:
+    """Parse a MNISTsum*.txt pair-index file: lines of 'i j' (or 'i,j')."""
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip().replace(",", " ")
+            if not line:
+                continue
+            a, b = line.split()[:2]
+            pairs.append((int(a), int(b)))
+    return np.asarray(pairs, np.int64)
+
+
+def _load_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic, = struct.unpack(">I", f.read(4))
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def load_raw_mnist(source: str, split: str = "train"):
+    """Return (images [N, 784] float in [0,1], labels [N]).
+
+    source: directory containing either idx files (train-images-idx3-ubyte
+    [.gz] etc.), npy dumps, or the literal string 'synthetic'.
+    """
+    if source == "synthetic":
+        rng = np.random.default_rng(0 if split == "train" else 1)
+        n = 4096 if split == "train" else 1024
+        labels = rng.integers(0, 10, n)
+        # blocky class-dependent pattern; deterministic
+        imgs = np.zeros((n, 28, 28), np.float32)
+        for i, lab in enumerate(labels):
+            r, c = divmod(int(lab), 4)
+            imgs[i, r * 7:(r + 1) * 7 + 7, c * 7:(c + 1) * 7] = 0.9
+            imgs[i] += rng.random((28, 28)) * 0.2
+        return imgs.reshape(n, 784).clip(0, 1), labels
+
+    prefix = {"train": "train", "val": "train", "test": "t10k"}[split]
+    for img_name in (f"{prefix}-images-idx3-ubyte.gz",
+                     f"{prefix}-images-idx3-ubyte"):
+        p = os.path.join(source, img_name)
+        if os.path.exists(p):
+            imgs = _load_idx(p).astype(np.float32) / 255.0
+            labels = _load_idx(p.replace("images-idx3", "labels-idx1"))
+            return imgs.reshape(len(imgs), 784), labels.astype(np.int64)
+    npy = os.path.join(source, f"{split}_images.npy")
+    if os.path.exists(npy):
+        imgs = np.load(npy).astype(np.float32)
+        labels = np.load(os.path.join(source, f"{split}_labels.npy"))
+        return imgs.reshape(len(imgs), 784), labels
+    raise FileNotFoundError(
+        f"no raw MNIST under {source!r}; provide idx/npy files or pass "
+        "'synthetic'")
+
+
+class MNISTSumPairs:
+    """Iterable batches of (x1, x2, y=digit sum) with training noise.
+
+    Training semantics per the reference MNISTsumTo (data/mnist.py:56-83):
+    dynamic binarization (Bernoulli on intensities), random pixel-flip noise
+    (p<=0.05), and +/-1 label noise with p=0.1 on 20% of labels — reference
+    applies label noise with rate 0.2 sign-flip of +/-1... we follow the
+    stated intent: noisy integer labels in training only.
+    """
+
+    def __init__(self, source: str, pair_file: str | None, split: str,
+                 seed: int = 0, train_noise: bool | None = None):
+        self.images, self.labels = load_raw_mnist(source, split)
+        self.split = split
+        self.train_noise = (split == "train") if train_noise is None \
+            else train_noise
+        self.rng = np.random.default_rng(seed)
+        if pair_file is not None and os.path.exists(pair_file):
+            self.pairs = load_pair_indices(pair_file)
+            self.pairs = self.pairs[(self.pairs < len(self.images)).all(1)]
+        else:
+            # regenerate pairs with bounded sum (reference data/mnist.py:87+)
+            self.pairs = self._make_pairs(sum_to=18 if "18" in str(pair_file)
+                                          else 10)
+
+    def _make_pairs(self, sum_to: int, n_pairs: int = 20000) -> np.ndarray:
+        idx = self.rng.permutation(len(self.images))
+        pairs = []
+        half = len(idx) // 2
+        for a, b in zip(idx[:half], idx[half:]):
+            if self.labels[a] + self.labels[b] <= sum_to:
+                pairs.append((a, b))
+            if len(pairs) >= n_pairs:
+                break
+        return np.asarray(pairs, np.int64)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def batches(self, batch_size: int, steps: int | None = None):
+        """Yield (x1, x2, y) float32 batches indefinitely (or `steps` times)."""
+        count = 0
+        while steps is None or count < steps:
+            sel = self.rng.integers(0, len(self.pairs), batch_size)
+            a, b = self.pairs[sel, 0], self.pairs[sel, 1]
+            x1 = self.images[a]
+            x2 = self.images[b]
+            y = (self.labels[a] + self.labels[b]).astype(np.float32)
+            # dynamic binarization
+            x1 = (self.rng.random(x1.shape) < x1).astype(np.float32)
+            x2 = (self.rng.random(x2.shape) < x2).astype(np.float32)
+            if self.train_noise:
+                p = self.rng.random() * 0.05
+                for x in (x1, x2):
+                    flip = self.rng.random(x.shape) < p
+                    x[flip] = 1.0 - x[flip]
+                noise_mask = self.rng.random(len(y)) < 0.2
+                y = y + noise_mask * self.rng.choice([-1.0, 1.0], len(y))
+            yield x1, x2, y
+            count += 1
+
+
+def load_static_binary_mnist(source: str, split: str = "train"):
+    """Binarized MNIST for DAE/EBM training (the reference uses the
+    Larochelle static split, vamp_utils.py:16-79; with no network we
+    binarize the local raw MNIST deterministically)."""
+    imgs, _ = load_raw_mnist(source, split)
+    rng = np.random.default_rng(42)
+    return (rng.random(imgs.shape) < imgs).astype(np.float32)

@@ -2,23 +2,28 @@
 
 Parity with the reference energy layer (ppde/energy.py:13-164): four energy
 families with a uniform API —
-  * ``energy(x) -> (e, fit)``
-  * ``energy_and_grad(x) -> (e, fit, grad_x)``
-  * ``fitness(x) -> fit``  (the reference's get_supervised_expert)
+  * ``energy(params, x) -> (e, fit)``
+  * ``energy_and_grad(params, x) -> (e, fit, grad_x)``
+  * ``fitness(params, x) -> fit``  (the reference's get_supervised_expert)
 
-Differences by design:
-  * energies are pure closures over parameter pytrees, jit/vmap/scan-safe;
+All parameters live in ``Energy.params`` and are passed EXPLICITLY through
+jit boundaries — closing over multi-MB coupling matrices would bake them
+into the compiled HLO as constants (measured: ~300s compile for a GFP-sized
+Potts vs ~1s with explicit arguments).
+
+Differences from the reference by design:
+  * energies are pure functions, jit/vmap/scan-safe;
   * the Potts gradient is analytic (one shared MXU matmul; potts.py), so the
-    fused energy+grad pays no autodiff backward for the unsupervised term;
+    fused energy+grad evaluation pays no autodiff backward for the
+    unsupervised term (reference pays a full backward, energy.py:103-132);
   * the reference's minibatched transformer loop (energy.py:114-130) becomes
-    an optional ``lax.map`` over chain chunks — one compiled program, no
-    host round trips;
+    an optional ``lax.map`` over chain chunks — one compiled program;
   * the reference's MNIST PoE ``self.supervised`` AttributeError
     (energy.py:42) is fixed: the supervised ensemble is what's called.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
@@ -30,8 +35,13 @@ from ppde_tpu.models import potts as potts_mod
 
 @dataclass(frozen=True)
 class Energy:
-    """Uniform energy API consumed by every sampler."""
+    """Uniform energy API consumed by every sampler.
 
+    The callables take ``params`` (a pytree, = ``self.params``) as their
+    first argument so samplers can thread it through jit explicitly.
+    """
+
+    params: Any
     energy: Callable
     energy_and_grad: Callable
     fitness: Callable
@@ -49,7 +59,7 @@ def _vjp_sum(f, x):
 # protein energies
 # ---------------------------------------------------------------------------
 
-def protein_poe(potts_params: potts_mod.PottsParams, sup_ensemble,
+def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                 lam: float, wt_onehot, transformer=None,
                 chunk_size: int | None = None) -> Energy:
     """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
@@ -60,28 +70,29 @@ def protein_poe(potts_params: potts_mod.PottsParams, sup_ensemble,
     None for transformer-only. ``chunk_size`` maps the transformer (and its
     gradient) over chain chunks to bound memory for large models.
     """
+    params = {"sup": sup_ensemble}
+    if potts_params is not None:
+        params["potts"] = potts_params
+    t_apply = None
+    if transformer is not None:
+        params["tr"] = transformer[0]
+        t_apply = transformer[1]
 
-    def fit_fn(x):
-        return cnn.ensemble_apply(sup_ensemble, x)
+    def fit_fn(p, x):
+        return cnn.ensemble_apply(p["sup"], x)
 
-    def unsup_score(x):
-        e = 0.0
-        if potts_params is not None:
-            e = e + potts_mod.score(potts_params, x, delta=True)
-        if transformer is not None:
-            t_params, t_apply = transformer
-            e = e + t_apply(t_params, x)
-        return e
+    def energy(p, x):
+        fit = fit_fn(p, x)
+        e = lam * fit
+        if "potts" in p:
+            e = e + potts_mod.score(p["potts"], x, delta=True)
+        if t_apply is not None:
+            e = e + t_apply(p["tr"], x)
+        return e, fit
 
-    def energy(x):
-        fit = fit_fn(x)
-        return unsup_score(x) + lam * fit, fit
-
-    def transformer_score_and_grad(x):
-        t_params, t_apply = transformer
-
+    def transformer_score_and_grad(p, x):
         def one_chunk(xc):
-            return _vjp_sum(lambda v: t_apply(t_params, v), xc)
+            return _vjp_sum(lambda v: t_apply(p["tr"], v), xc)
 
         if chunk_size is None or x.shape[0] <= chunk_size:
             return one_chunk(x)
@@ -90,40 +101,43 @@ def protein_poe(potts_params: potts_mod.PottsParams, sup_ensemble,
         es, gs = jax.lax.map(one_chunk, xs)
         return es.reshape(n), gs.reshape(x.shape)
 
-    def energy_and_grad(x):
-        fit, fit_grad = _vjp_sum(fit_fn, x)
+    def energy_and_grad(p, x):
+        fit, fit_grad = _vjp_sum(lambda v: fit_fn(p, v), x)
         e = lam * fit
         grad = lam * fit_grad
-        if potts_params is not None:
-            pe, pg = potts_mod.score_and_grad(potts_params, x, delta=True)
+        if "potts" in p:
+            pe, pg = potts_mod.score_and_grad(p["potts"], x, delta=True)
             e = e + pe
             grad = grad + pg
-        if transformer is not None:
-            te, tg = transformer_score_and_grad(x)
+        if t_apply is not None:
+            te, tg = transformer_score_and_grad(p, x)
             e = e + te
             grad = grad + tg
         return e, fit, grad
 
-    return Energy(energy=energy, energy_and_grad=energy_and_grad,
-                  fitness=fit_fn, wt_onehot=wt_onehot)
+    return Energy(params=params, energy=energy,
+                  energy_and_grad=energy_and_grad, fitness=fit_fn,
+                  wt_onehot=wt_onehot)
 
 
 def protein_supervised(sup_ensemble, wt_onehot) -> Energy:
     """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
+    params = {"sup": sup_ensemble}
 
-    def fit_fn(x):
-        return cnn.ensemble_apply(sup_ensemble, x)
+    def fit_fn(p, x):
+        return cnn.ensemble_apply(p["sup"], x)
 
-    def energy(x):
-        fit = fit_fn(x)
+    def energy(p, x):
+        fit = fit_fn(p, x)
         return fit, fit
 
-    def energy_and_grad(x):
-        fit, g = _vjp_sum(fit_fn, x)
+    def energy_and_grad(p, x):
+        fit, g = _vjp_sum(lambda v: fit_fn(p, v), x)
         return fit, fit, g
 
-    return Energy(energy=energy, energy_and_grad=energy_and_grad,
-                  fitness=fit_fn, wt_onehot=wt_onehot)
+    return Energy(params=params, energy=energy,
+                  energy_and_grad=energy_and_grad, fitness=fit_fn,
+                  wt_onehot=wt_onehot)
 
 
 # ---------------------------------------------------------------------------
@@ -141,38 +155,42 @@ def mnist_poe(unsup_params, sup_ensemble, lam: float,
     """
     log_prob = (mnist_nets.ebm_log_prob if unsup_kind == "ebm"
                 else mnist_nets.dae_log_prob)
+    params = {"unsup": unsup_params, "sup": sup_ensemble}
 
-    def fit_fn(x2, x1):
-        return mnist_nets.regression_ensemble_apply(sup_ensemble, x1, x2)
+    def fit_fn(p, x2, x1):
+        return mnist_nets.regression_ensemble_apply(p["sup"], x1, x2)
 
-    def energy(x2, x1):
-        fit = fit_fn(x2, x1)
-        return log_prob(unsup_params, x2) + lam * fit, fit
+    def energy(p, x2, x1):
+        fit = fit_fn(p, x2, x1)
+        return log_prob(p["unsup"], x2) + lam * fit, fit
 
-    def energy_and_grad(x2, x1):
+    def energy_and_grad(p, x2, x1):
         def e_fn(v):
-            fit = fit_fn(v, x1)
-            e = log_prob(unsup_params, v) + lam * fit
+            fit = fit_fn(p, v, x1)
+            e = log_prob(p["unsup"], v) + lam * fit
             return jnp.sum(e), (e, fit)
 
         (_, (e, fit)), grad = jax.value_and_grad(e_fn, has_aux=True)(x2)
         return e, fit, grad
 
-    return Energy(energy=energy, energy_and_grad=energy_and_grad, fitness=fit_fn)
+    return Energy(params=params, energy=energy,
+                  energy_and_grad=energy_and_grad, fitness=fit_fn)
 
 
 def mnist_supervised(sup_ensemble) -> Energy:
     """Supervised-only MNIST energy (energy.py:54-68)."""
+    params = {"sup": sup_ensemble}
 
-    def fit_fn(x2, x1):
-        return mnist_nets.regression_ensemble_apply(sup_ensemble, x1, x2)
+    def fit_fn(p, x2, x1):
+        return mnist_nets.regression_ensemble_apply(p["sup"], x1, x2)
 
-    def energy(x2, x1):
-        fit = fit_fn(x2, x1)
+    def energy(p, x2, x1):
+        fit = fit_fn(p, x2, x1)
         return fit, fit
 
-    def energy_and_grad(x2, x1):
-        fit, g = _vjp_sum(lambda v: fit_fn(v, x1), x2)
+    def energy_and_grad(p, x2, x1):
+        fit, g = _vjp_sum(lambda v: fit_fn(p, v, x1), x2)
         return fit, fit, g
 
-    return Energy(energy=energy, energy_and_grad=energy_and_grad, fitness=fit_fn)
+    return Energy(params=params, energy=energy,
+                  energy_and_grad=energy_and_grad, fitness=fit_fn)

@@ -1,0 +1,280 @@
+"""ESM2 protein language model — one-hot-input, differentiable, in JAX.
+
+The reference's 'transformer' experts load the external ``esm_one_hot``
+fork (a patched facebookresearch/esm accepting one-hot float inputs so
+dE/dx exists; reference nets.py:11,172-240, environment.yml:22). This module
+provides the same capability natively:
+
+  * the ESM2 architecture (rotary attention, pre-LN, tied LM head, eval-mode
+    token-dropout rescale) as pure functions over a parameter pytree;
+  * inputs are FLOAT one-hot [B, T, 33] — token embedding is a matmul
+    ``x @ E`` so the whole score is differentiable w.r.t. x;
+  * a converter from fair-esm checkpoint state_dicts (weights are not
+    downloadable in this environment — conversion is exercised with
+    randomly-initialized torch-layout dicts in tests; point --esm_weights
+    at a real checkpoint to get the published models);
+  * the pseudo-log-likelihood scorer used as the unsupervised expert
+    (sum_i x_i . log_softmax(logits_i), delta vs wild type;
+    reference nets.py:221-240), with the fixed 20->33 vocabulary
+    permutation (reference nets.py:194-213).
+
+Compute is bf16 by default (the TPU-native analog of the reference's CUDA
+AMP autocast, nets.py:230) with fp32 accumulation for the score.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppde_tpu import codec
+
+# Canonical ESM alphabet (fair-esm proteinseq_toks + specials), index order.
+ESM_TOKS = [
+    "<cls>", "<pad>", "<eos>", "<unk>",
+    "L", "A", "G", "V", "S", "E", "R", "T", "I", "D", "P", "K", "Q", "N",
+    "F", "Y", "M", "H", "W", "C", "X", "B", "U", "Z", "O", ".", "-",
+    "<null_1>", "<mask>",
+]
+ESM_VOCAB = len(ESM_TOKS)  # 33
+ESM_TOK_TO_IDX = {t: i for i, t in enumerate(ESM_TOKS)}
+MASK_IDX = ESM_TOK_TO_IDX["<mask>"]
+CLS_IDX = ESM_TOK_TO_IDX["<cls>"]
+EOS_IDX = ESM_TOK_TO_IDX["<eos>"]
+PAD_IDX = ESM_TOK_TO_IDX["<pad>"]
+
+CONFIGS = {
+    "transformer-S": dict(layers=12, dim=480, heads=20, ffn=1920),   # 35M
+    "transformer-M": dict(layers=30, dim=640, heads=20, ffn=2560),   # 150M
+    "transformer": dict(layers=30, dim=640, heads=20, ffn=2560),
+    "transformer-L": dict(layers=33, dim=1280, heads=20, ffn=5120),  # 650M
+}
+# mask_ratio_train for eval-mode token-dropout rescale (0.15 * 0.8)
+MASK_RATIO_TRAIN = 0.15 * 0.8
+
+
+def potts_to_esm_perm() -> np.ndarray:
+    """[20, 33] permutation mapping our AA one-hots to ESM one-hots
+    (parity with reference get_potts_to_esm_perm, nets.py:194-206)."""
+    perm = np.zeros((codec.VOCAB_SIZE, ESM_VOCAB), np.float32)
+    for k in range(codec.VOCAB_SIZE):
+        perm[k, ESM_TOK_TO_IDX[codec.INT_TO_AA[k]]] = 1.0
+    return perm
+
+
+def seq_to_esm_onehot(seq: str, dtype=np.float32) -> np.ndarray:
+    """AA string -> [T, 33] one-hot (no cls/eos, matching the reference
+    expert path which strips them, nets.py:189)."""
+    out = np.zeros((len(seq), ESM_VOCAB), dtype)
+    for i, c in enumerate(seq):
+        out[i, ESM_TOK_TO_IDX.get(c, ESM_TOK_TO_IDX["<unk>"])] = 1.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init(key, name: str = "transformer-S", dtype=jnp.bfloat16,
+         scale: float = 0.02) -> dict:
+    cfg = CONFIGS[name]
+    D, F, H, N = cfg["dim"], cfg["ffn"], cfg["heads"], cfg["layers"]
+    keys = jax.random.split(key, 2 + N)
+
+    def lin(k, i, o):
+        k1, k2 = jax.random.split(k)
+        return {"w": (jax.random.normal(k1, (i, o)) * scale).astype(dtype),
+                "b": jnp.zeros((o,), dtype)}
+
+    def ln(d):
+        return {"g": jnp.ones((d,), jnp.float32),
+                "b": jnp.zeros((d,), jnp.float32)}
+
+    def layer(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "attn_ln": ln(D),
+            "q": lin(ks[0], D, D), "k": lin(ks[1], D, D),
+            "v": lin(ks[2], D, D), "o": lin(ks[3], D, D),
+            "ffn_ln": ln(D),
+            "fc1": lin(ks[4], D, F), "fc2": lin(ks[5], F, D),
+        }
+
+    return {
+        "embed": (jax.random.normal(keys[0], (ESM_VOCAB, D)) * scale).astype(dtype),
+        "layers": [layer(k) for k in keys[2:]],
+        "final_ln": ln(D),
+        "lm_dense": lin(keys[1], D, D),
+        "lm_ln": ln(D),
+        "lm_bias": jnp.zeros((ESM_VOCAB,), jnp.float32),
+        "_config": dict(cfg, name=name),
+    }
+
+
+def _layer_norm(p, x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.var(x32, -1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    return y.astype(x.dtype)
+
+
+def _rotary(q, k):
+    """Rotary position embedding on [B, H, T, hd] query/key tensors."""
+    hd = q.shape[-1]
+    T = q.shape[-2]
+    inv = 1.0 / (10000.0 ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    t = jnp.arange(T, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)                      # [T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], -1)      # [T, hd]
+    cos = jnp.cos(emb)[None, None].astype(q.dtype)
+    sin = jnp.sin(emb)[None, None].astype(q.dtype)
+
+    def rot_half(x):
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return jnp.concatenate([-x2, x1], -1)
+
+    return q * cos + rot_half(q) * sin, k * cos + rot_half(k) * sin
+
+
+def _attention(p, x, heads):
+    B, T, D = x.shape
+    hd = D // heads
+
+    def proj(pp, v):
+        return (v @ pp["w"] + pp["b"]).reshape(B, T, heads, hd).transpose(0, 2, 1, 3)
+
+    q = proj(p["q"], x) * (1.0 / math.sqrt(hd))
+    k = proj(p["k"], x)
+    v = proj(p["v"], x)
+    q, k = _rotary(q, k)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+    return out @ p["o"]["w"] + p["o"]["b"]
+
+
+def forward_logits(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
+    """One-hot [B, T, 33] -> LM logits [B, T, 33] (fp32).
+
+    Eval-mode semantics of the esm_one_hot fork: embedding is x @ E (so
+    gradients flow to x); token-dropout rescale uses the soft mask weight
+    x[..., MASK_IDX] (exact for one-hot inputs).
+    """
+    cfg = params["_config"]
+    dtype = params["embed"].dtype
+    x = x_onehot.astype(dtype)
+    h = x @ params["embed"]
+    # token dropout rescale (ESM2 eval): zero masked embeddings, scale by
+    # (1 - mask_ratio_train) / (1 - observed mask ratio)
+    mask_w = x_onehot[..., MASK_IDX].astype(jnp.float32)  # [B, T]
+    h = h * (1.0 - mask_w[..., None]).astype(dtype)
+    ratio = jnp.mean(mask_w, axis=-1, keepdims=True)      # [B, 1]
+    scale = (1.0 - MASK_RATIO_TRAIN) / (1.0 - ratio)
+    h = h * scale[..., None].astype(dtype)
+
+    for layer in params["layers"]:
+        h = h + _attention(layer, _layer_norm(layer["attn_ln"], h),
+                           cfg["heads"])
+        y = _layer_norm(layer["ffn_ln"], h)
+        y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
+                        approximate=False)
+        h = h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
+
+    h = _layer_norm(params["final_ln"], h)
+    y = jax.nn.gelu(h @ params["lm_dense"]["w"] + params["lm_dense"]["b"],
+                    approximate=False)
+    y = _layer_norm(params["lm_ln"], y)
+    logits = jnp.einsum("btd,vd->btv", y.astype(jnp.float32),
+                        params["embed"].astype(jnp.float32))
+    return logits + params["lm_bias"]
+
+
+def pseudo_log_likelihood(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
+    """sum_i x_i . log_softmax(logits_i) per sequence (nets.py:221-233)."""
+    logits = forward_logits(params, x_onehot)
+    lp = jax.nn.log_softmax(logits, -1)
+    return jnp.sum(x_onehot.astype(jnp.float32) * lp, axis=(1, 2))
+
+
+def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
+                allow_random: bool = False, dtype=jnp.bfloat16):
+    """Build the unsupervised transformer expert: (params, apply_fn) where
+    apply_fn(params, x_potts_onehot [N,L,20]) -> delta PLL vs wild type."""
+    if weights_path is not None:
+        params = load_torch_checkpoint(weights_path, name, dtype)
+    elif allow_random:
+        params = init(jax.random.PRNGKey(0), name, dtype)
+    else:
+        raise FileNotFoundError(
+            "No ESM2 weights available: pass --esm_weights pointing at a "
+            "fair-esm esm2_t*.pt checkpoint (this environment cannot "
+            "download them), or --allow_random_esm for smoke testing.")
+
+    perm = jnp.asarray(potts_to_esm_perm(), dtype)
+    wt = jnp.asarray(seq_to_esm_onehot(wt_seq))[None]
+    wt_score = pseudo_log_likelihood(params, wt)
+
+    def apply_fn(params, x):
+        x_esm = x.astype(perm.dtype) @ perm
+        return pseudo_log_likelihood(params, x_esm) - wt_score
+
+    return params, apply_fn
+
+
+# ---------------------------------------------------------------------------
+# fair-esm checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str, name: str, dtype=jnp.bfloat16) -> dict:
+    """Convert a fair-esm ESM2 state_dict (.pt) to our pytree layout."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = {k.removeprefix("encoder.").removeprefix("sentence_encoder."): v
+          for k, v in sd.items()}
+    sd = {k: v.float().numpy() for k, v in sd.items()
+          if hasattr(v, "numpy")}
+    return from_state_dict(sd, name, dtype)
+
+
+def from_state_dict(sd: dict, name: str, dtype=jnp.bfloat16) -> dict:
+    """Map fair-esm ESM2 module names onto our pytree."""
+    cfg = CONFIGS[name]
+
+    def lin(prefix):
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"].T, dtype),
+                "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+    def ln(prefix):
+        return {"g": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32),
+                "b": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+
+    layers = []
+    for i in range(cfg["layers"]):
+        p = f"layers.{i}"
+        layers.append({
+            "attn_ln": ln(f"{p}.self_attn_layer_norm"),
+            "q": lin(f"{p}.self_attn.q_proj"),
+            "k": lin(f"{p}.self_attn.k_proj"),
+            "v": lin(f"{p}.self_attn.v_proj"),
+            "o": lin(f"{p}.self_attn.out_proj"),
+            "ffn_ln": ln(f"{p}.final_layer_norm"),
+            "fc1": lin(f"{p}.fc1"),
+            "fc2": lin(f"{p}.fc2"),
+        })
+    return {
+        "embed": jnp.asarray(sd["embed_tokens.weight"], dtype),
+        "layers": layers,
+        "final_ln": ln("emb_layer_norm_after"),
+        "lm_dense": lin("lm_head.dense"),
+        "lm_ln": ln("lm_head.layer_norm"),
+        "lm_bias": jnp.asarray(sd["lm_head.bias"], jnp.float32),
+        "_config": dict(cfg, name=name),
+    }

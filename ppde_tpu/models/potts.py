@@ -209,15 +209,26 @@ def synthetic(wt_seq: str, min_pos: int = 0, max_pos: int | None = None,
         max_pos = len(wt_seq) - 1
     L = max_pos - min_pos + 1
     rng = np.random.default_rng(seed)
-    J = rng.normal(0.0, coupling_scale, (L, L, VOCAB, VOCAB))
-    J = 0.5 * (J + np.transpose(J, (1, 0, 3, 2)))  # J_ij == J_ji^T
-    J[np.arange(L), np.arange(L)] = 0.0
-    h = rng.normal(0.0, field_scale, (L, VOCAB))
+    # build directly in the flattened W layout, float32 (float64 J tensors
+    # for GFP-sized models cost ~20s of host time for no benefit here)
+    W = rng.standard_normal((L * VOCAB, L * VOCAB), np.float32)
+    W *= np.float32(coupling_scale)
+    W = 0.5 * (W + W.T)
+    blocks = W.reshape(L, VOCAB, L, VOCAB)
+    blocks[np.arange(L), :, np.arange(L), :] = 0.0
+    h = rng.normal(0.0, field_scale, (L, VOCAB)).astype(np.float32)
     # favor the WT letters slightly so WT is near a local optimum
     wt_idx = codec.seqs_to_ints([wt_seq[min_pos : max_pos + 1]])[0]
     h[np.arange(L), wt_idx] += 2.0 * field_scale
-    index_list = np.arange(min_pos, max_pos + 1)
-    return _build(J, h, index_list, 1.0, 0, wt_seq, dtype)
+
+    params = PottsParams(
+        W=jnp.asarray(W, dtype), h=jnp.asarray(h.reshape(-1), dtype),
+        wt_H=jnp.zeros(()), seq_len=L, min_pos=min_pos, max_pos=max_pos,
+        reg_coef=1.0,
+    )
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([wt_seq[min_pos : max_pos + 1]]))
+    wt_H = hamiltonian(params, wt_oh)[0]
+    return params.replace(wt_H=wt_H)
 
 
 def as_dense_J(params: PottsParams) -> np.ndarray:

@@ -1,0 +1,75 @@
+"""Device meshes and sharding policies for batched-chain sampling.
+
+The reference is single-process/single-GPU; its only parallelism is chain
+batching (SURVEY.md §2.3). The TPU-native scaling story:
+
+  * **dp (chains)** — the population axis shards across devices; sampler
+    steps are embarrassingly parallel per chain (no collectives needed).
+  * **ep (experts)** — stacked ensemble members / PoE terms shard across
+    devices; the ensemble mean becomes a psum-mean XLA inserts from the
+    sharding annotations.
+  * **tp (features)** — the dominant Potts matmul x@W shards the coupling
+    matrix column-wise; XLA inserts the reduce over tp for the energy
+    contraction.
+  * pp / sp — not needed for this workload (models <=650M params, sequences
+    <=238 AA; documented out of scope in SURVEY.md §2.3/§5).
+
+Everything here follows the annotate-and-let-GSPMD-insert-collectives
+recipe: build a Mesh, place inputs with NamedSharding, jit the same pure
+functions used single-chip.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int | None = None, ep: int = 1, tp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, ep, tp) mesh; dp defaults to all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        assert n % (ep * tp) == 0, (n, ep, tp)
+        dp = n // (ep * tp)
+    assert dp * ep * tp == n, (dp, ep, tp, n)
+    arr = np.asarray(devices).reshape(dp, ep, tp)
+    return Mesh(arr, axis_names=("dp", "ep", "tp"))
+
+
+def shard_chains(x, mesh: Mesh):
+    """Place a [n_chains, ...] array sharded over the dp axis."""
+    spec = P("dp", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_ensemble(stacked_params, mesh: Mesh):
+    """Place stacked ensemble params sharded over the ep axis (leading dim).
+
+    Works when the member count divides the ep axis size; otherwise
+    replicates (ensembles of 3 on ep=2 meshes stay replicated).
+    """
+    ep_size = mesh.shape["ep"]
+
+    def place(leaf):
+        if leaf.shape[0] % ep_size == 0:
+            spec = P("ep", *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P(*([None] * leaf.ndim))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, stacked_params)
+
+
+def shard_potts(potts_params, mesh: Mesh):
+    """Shard the [L*V, L*V] coupling matrix column-wise over tp (tensor
+    parallelism on the dominant matmul); fields and wt_H follow."""
+    W = jax.device_put(potts_params.W, NamedSharding(mesh, P(None, "tp")))
+    h = jax.device_put(potts_params.h, NamedSharding(mesh, P("tp")))
+    wt_H = jax.device_put(potts_params.wt_H, NamedSharding(mesh, P()))
+    return potts_params.replace(W=W, h=h, wt_H=wt_H)
+
+
+def replicated(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

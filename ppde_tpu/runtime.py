@@ -1,0 +1,111 @@
+"""Run assembly: build energies, oracles and samplers from config.
+
+This is the glue the reference keeps inside its entry scripts
+(scripts/directed_evolution.py:21-81, scripts/mnist_sum.py:21-127),
+factored into a library so the CLI, tests, benchmarks and checkpoint/resume
+all construct identical runs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppde_tpu import codec, energy as energy_mod, io as pio
+from ppde_tpu.models import cnn, oracle as oracle_mod, potts as potts_mod
+from ppde_tpu.models import torch_convert
+
+
+def load_potts(protein_dir: str, allow_synthetic: bool = True,
+               dtype=jnp.float32) -> potts_mod.PottsParams:
+    """Load Potts params: potts.pkl (reference artifact) > potts.npz (our
+    fitter's artifact) > deterministic synthetic fallback.
+
+    The reference's potts.pkl blobs are missing from its repo
+    (.MISSING_LARGE_BLOBS); `scripts/fit_potts.py` regenerates npz params
+    from an MSA.
+    """
+    pkl = os.path.join(protein_dir, "potts.pkl")
+    npz = os.path.join(protein_dir, "potts.npz")
+    wt_seqs, wt_ids = pio.read_fasta(os.path.join(protein_dir, "wt.fasta"),
+                                     return_ids=True)
+    if os.path.exists(pkl):
+        return potts_mod.load_pickle(protein_dir, dtype)
+    if os.path.exists(npz):
+        return potts_mod.load_npz(npz, wt_seqs[0], dtype)
+    if not allow_synthetic:
+        raise FileNotFoundError(f"no potts.pkl/potts.npz under {protein_dir}")
+    warnings.warn(
+        f"{protein_dir}: no Potts artifact found (the reference repo's "
+        "potts.pkl is a missing blob) — using deterministic synthetic "
+        "parameters. Fit real ones with scripts/fit_potts.py.")
+    offset = (int(wt_ids[0].split("/")[-1].split("-")[0])
+              if "/" in wt_ids[0] else 1)
+    return potts_mod.synthetic(wt_seqs[0], seed=0, dtype=dtype)
+
+
+def load_supervised_ensemble(protein_dir: str, n_members: int = 3):
+    """Converted reference OnehotCNN checkpoints as stacked params."""
+    paths = [os.path.join(protein_dir, f"onehot_cnn_seed={i}.pt")
+             for i in range(n_members)]
+    return jax.tree.map(jnp.asarray,
+                        torch_convert.onehot_cnn_ensemble(paths))
+
+
+def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
+    """Construct (energy, oracle=(params, apply)) for a protein run.
+
+    args needs: protein_weights, protein, energy_function, unsupervised_expert,
+    energy_lamda, n_chains, and optionally esm_weights/allow_random_esm.
+    """
+    protein_dir = os.path.join(args.protein_weights, args.protein)
+    wt_seqs = pio.read_fasta(os.path.join(protein_dir, "wt.fasta"))
+    wt_onehot = jnp.asarray(codec.seqs_to_onehot(wt_seqs))
+    sup = load_supervised_ensemble(protein_dir)
+
+    pp = load_potts(protein_dir)
+
+    transformer = None
+    if "transformer" in args.unsupervised_expert:
+        from ppde_tpu.models import esm2
+
+        params, apply_fn = esm2.load_expert(
+            args.unsupervised_expert, wt_seqs[0],
+            weights_path=getattr(args, "esm_weights", None),
+            allow_random=getattr(args, "allow_random_esm", False))
+        transformer = (params, apply_fn)
+
+    if args.energy_function == "supervised":
+        en = energy_mod.protein_supervised(sup, wt_onehot)
+    else:
+        use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
+        chunk = None
+        if args.unsupervised_expert == "transformer-L":
+            chunk = 8
+        elif transformer is not None:
+            chunk = min(args.n_chains, 64)
+        en = energy_mod.protein_poe(
+            pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
+            transformer=transformer, chunk_size=chunk)
+
+    orc = oracle_mod.load(protein_dir, potts_params=pp)
+    oracle = (orc, oracle_mod.apply)
+    return en, oracle, pp, orc
+
+
+def make_initial_protein_population(protein_dir: str, n_chains: int):
+    wt_seqs = pio.read_fasta(os.path.join(protein_dir, "wt.fasta"))
+    wt_onehot = jnp.asarray(codec.seqs_to_onehot(wt_seqs))
+    return jnp.repeat(wt_onehot, n_chains, axis=0)
+
+
+def dump_config(args, path):
+    with open(path, "w") as f:
+        json.dump({k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                       else str(v)) for k, v in vars(args).items()},
+                  f, indent=2)

@@ -6,14 +6,18 @@ The framework contract mirrors the reference BaseSampler.run
 oracle scored every ``log_every`` steps, and returns per-chain bests plus
 full energy/fitness histories and one chain's visualization trajectory.
 
-TPU-first structure: ``num_steps`` is split into ``log_every``-sized
-segments; each segment is ONE jitted ``lax.scan`` (zero host syncs inside).
-Between segments the runner scores the oracle (also jitted) and emits a log
-line — the reference's per-step Python loop with host round-trips
-(e.g. protein ppde.py:65-170) becomes ~num_steps/log_every device programs.
-Per-chain argmax-energy "best" tracking is folded into the scan carry
-instead of materializing the [steps, chains, L, V] history the reference
-keeps on host (protein ppde.py:38,146,175-183).
+TPU-first structure:
+  * ``num_steps`` splits into ``log_every``-sized segments; each segment is
+    ONE jitted ``lax.scan`` (zero host syncs inside) — the reference's
+    per-step Python loop with host round-trips (protein ppde.py:65-170)
+    becomes ~num_steps/log_every device programs;
+  * per-chain argmax-energy "best" tracking is a running scan carry instead
+    of a host-side [steps, chains, L, V] history (protein ppde.py:175-183);
+  * ALL array state (energy/oracle parameters, wild type, initial
+    population, per-chain hyperparameters) flows through the jit boundary
+    as an explicit ``ctx`` pytree — capturing it in closures would bake
+    multi-MB constants into the compiled HLO (measured ~300s compile for a
+    GFP-sized Potts vs ~1s when passed as arguments).
 """
 from __future__ import annotations
 
@@ -55,6 +59,7 @@ def segment_lengths(num_steps: int, log_every: int) -> list[int]:
 def run_segmented(
     *,
     step_fn: Callable,
+    ctx: Any,
     init_state: Any,
     key: jax.Array,
     num_steps: int,
@@ -62,45 +67,70 @@ def run_segmented(
     oracle_fn: Callable | None,
     log_fn: Callable | None = None,
     quiet: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[Any, dict]:
     """Drive ``step_fn`` for ``num_steps`` in jitted scan segments.
 
-    step_fn: (state, key) -> (state, ys) where ys is a dict of per-step
+    step_fn: (ctx, state, key) -> (state, ys); ys is a dict of per-step
     records (at minimum 'energy' and 'fitness', each [n_chains]).
-    oracle_fn: state -> [n_chains] ground-truth scores (jitted callable).
-
-    Returns (final_state, records) where records stacks all per-step ys along
-    axis 0 plus 'oracle' sampled at segment boundaries.
+    ctx: pytree of device arrays (parameters etc.), passed through jit.
+    oracle_fn: (ctx, state) -> [n_chains] ground-truth scores.
+    checkpoint_dir: if set, (state, key, step, records) persist every
+    ``checkpoint_every`` segments and the run resumes from an existing
+    checkpoint automatically (capability absent from the reference,
+    SURVEY.md §5).
     """
+    from ppde_tpu import checkpoint as ckpt
 
-    def segment(state, key, length):
+    def segment(ctx, state, key, length):
         keys = jax.random.split(key, length)
-        return jax.lax.scan(step_fn, state, keys)
+        return jax.lax.scan(lambda s, k: step_fn(ctx, s, k), state, keys)
 
-    seg_jit = jax.jit(segment, static_argnums=2)
+    seg_jit = jax.jit(segment, static_argnums=3)
     oracle_jit = jax.jit(oracle_fn) if oracle_fn is not None else None
 
     state = init_state
     all_ys: list = []
     oracle_hist: list = []
+    start_steps = 0
 
-    if oracle_jit is not None:
-        oracle_hist.append(jax.device_get(oracle_jit(state)))
-    if log_fn is not None and not quiet:
-        log_fn(0, state, None, oracle_hist[-1] if oracle_hist else None)
+    if checkpoint_dir is not None and ckpt.exists(checkpoint_dir):
+        state, key, start_steps, prior = ckpt.load(checkpoint_dir, init_state)
+        if prior:
+            oracle_hist = ([o for o in prior.pop("oracle")]
+                           if "oracle" in prior else [])
+            if prior:
+                all_ys.append(prior)
+        if not quiet:
+            print(f"[resume] restored checkpoint at step {start_steps} from "
+                  f"{checkpoint_dir}", flush=True)
+    else:
+        if oracle_jit is not None:
+            oracle_hist.append(jax.device_get(oracle_jit(ctx, state)))
+        if log_fn is not None and not quiet:
+            log_fn(0, state, None, oracle_hist[-1] if oracle_hist else None)
 
     t0 = time.perf_counter()
-    done = 0
-    for length in segment_lengths(num_steps, log_every):
+    done = start_steps
+    seg_idx = 0
+    for length in segment_lengths(num_steps - start_steps, log_every):
         key, seg_key = jax.random.split(key)
-        state, ys = seg_jit(state, seg_key, length)
+        state, ys = seg_jit(ctx, state, seg_key, length)
         done += length
+        seg_idx += 1
         if oracle_jit is not None:
-            oracle_hist.append(jax.device_get(oracle_jit(state)))
+            oracle_hist.append(jax.device_get(oracle_jit(ctx, state)))
         all_ys.append(jax.device_get(ys))
         if log_fn is not None and not quiet:
             log_fn(done, state, all_ys[-1],
                    oracle_hist[-1] if oracle_hist else None)
+        if checkpoint_dir is not None and seg_idx % checkpoint_every == 0:
+            partial = {k: np.concatenate([y[k] for y in all_ys], axis=0)
+                       for k in all_ys[0]}
+            partial["oracle"] = np.stack(oracle_hist, 0) if oracle_hist \
+                else np.zeros((0,))
+            ckpt.save(checkpoint_dir, state, key, done, partial)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 
@@ -110,7 +140,7 @@ def run_segmented(
                    for k in all_ys[0]}
     records["oracle"] = (np.stack(oracle_hist, 0) if oracle_hist
                          else np.zeros((0,)))
-    records["steps_per_sec"] = done / max(elapsed, 1e-9)
+    records["steps_per_sec"] = (done - start_steps) / max(elapsed, 1e-9)
     return state, records
 
 
@@ -148,3 +178,26 @@ def update_best(best, new_e, new_fit, new_x):
     return (jnp.where(better, new_e, best_e),
             jnp.where(better, new_fit, best_fit),
             bx)
+
+
+def package_result(*, e0, fit0, x0_traj_head, best, final_x, rec,
+                   traj_key: str = "traj") -> SamplerResult:
+    """Assemble the standard SamplerResult from scan records."""
+    best_e, best_fit, best_x = jax.device_get(best)
+    traj = None
+    if traj_key in rec:
+        traj = np.concatenate([np.asarray(x0_traj_head)[None],
+                               rec[traj_key]], 0)
+    return SamplerResult(
+        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
+        best_fitness=np.asarray(best_fit),
+        energy_history=np.concatenate(
+            [np.asarray(e0)[None], rec["energy"]], 0),
+        fitness_history=np.concatenate(
+            [np.asarray(fit0)[None], rec["fitness"]], 0),
+        random_traj=traj,
+        final_x=np.asarray(jax.device_get(final_x)),
+        oracle_history=rec["oracle"],
+        n_accepted=(rec["accepted"].sum(-1) if "accepted" in rec else None),
+        steps_per_sec=rec["steps_per_sec"],
+    )

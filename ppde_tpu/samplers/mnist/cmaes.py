@@ -27,7 +27,7 @@ class MNISTCMAESConfig:
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int = 0, max_pos: int = 784, oracle_fn=None,
+        min_pos: int = 0, max_pos: int = 784, oracle=None,
         cfg: MNISTCMAESConfig | None = None, key: jax.Array | None = None,
         log_every: int = 50, quiet: bool = False,
         seed: int = 0) -> base.SamplerResult:
@@ -39,20 +39,24 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     x2 = jnp.asarray(pop[:, D:])
     x1_single = x1[:1]
 
+    eparams = energy.params
+
     @jax.jit
-    def batch_energy(soln):
+    def batch_energy(eparams, soln):
         """[P, D*2] -> (energy, fitness, binary images [P, D])."""
         imgs = jnp.argmax(soln.reshape(-1, D, 2), -1).astype(jnp.float32)
         x1b = jnp.broadcast_to(x1_single, (imgs.shape[0], D))
-        e, fit = energy.energy(imgs, x1b)
+        e, fit = energy.energy(eparams, imgs, x1b)
         return e, fit, imgs
+
+    fitness_jit = jax.jit(energy.fitness)
 
     x0 = np.zeros((D, 2), np.float64)
     x0[np.arange(D), np.asarray(x2[0]).astype(int)] = 1.0
     es = CMAES(x0.ravel(), np.sqrt(cfg.initial_variance),
                popsize=cfg.population_size, seed=seed)
 
-    e0, fit0 = jax.jit(lambda v: energy.energy(v, x1))(x2)
+    e0, fit0 = jax.jit(energy.energy)(eparams, x2, x1)
     energy_history = [np.asarray(e0)]
     fitness_history = [np.asarray(fit0)]
     oracle_history = []
@@ -63,7 +67,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     t0 = time.perf_counter()
     for step in range(num_steps):
         X = es.ask()
-        e, fit, imgs = batch_energy(jnp.asarray(X, jnp.float32))
+        e, fit, imgs = batch_energy(eparams, jnp.asarray(X, jnp.float32))
         es.tell(X, -np.asarray(e))
         gens.append(np.asarray(imgs))
         gen_es.append(np.asarray(e))
@@ -73,13 +77,13 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
             new_pop_j = jnp.asarray(new_pop)
             x1b = jnp.broadcast_to(x1_single, new_pop_j.shape)
             fitness_history.append(
-                np.resize(np.asarray(jax.jit(energy.fitness)(new_pop_j, x1b)),
+                np.resize(np.asarray(fitness_jit(eparams, new_pop_j, x1b)),
                           n_chains))
             energy_history.append(
                 np.resize(np.concatenate(gen_es[-t:], 0), n_chains))
-            if oracle_fn is not None:
+            if oracle is not None:
                 oracle_history.append(
-                    np.asarray(oracle_fn(new_pop_j, x1b)))
+                    np.asarray(oracle[1](oracle[0], new_pop_j, x1b)))
             if not quiet:
                 print(f"[CMAES iter {step}] energy mean "
                       f"{energy_history[-1].mean():.3f}", flush=True)
@@ -90,7 +94,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     e_final = np.resize(np.concatenate(gen_es[-t:], 0), n_chains) if gen_es \
         else np.asarray(e0)
     x1b = jnp.broadcast_to(x1_single, (n_chains, D))
-    fit_final = np.asarray(jax.jit(energy.fitness)(jnp.asarray(final), x1b))
+    fit_final = np.asarray(fitness_jit(eparams, jnp.asarray(final), x1b))
 
     order = np.argsort(-e_final)
     return base.SamplerResult(

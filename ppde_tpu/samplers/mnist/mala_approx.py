@@ -34,9 +34,10 @@ def _relaxed_bernoulli_st(key, logits, tau):
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int = 0, max_pos: int = 784, oracle_fn=None,
+        min_pos: int = 0, max_pos: int = 784, oracle=None,
         cfg: MNISTMALAConfig | None = None, key: jax.Array | None = None,
-        log_every: int = 50, quiet: bool = False) -> base.SamplerResult:
+        log_every: int = 50, quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or MNISTMALAConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     pop = jnp.asarray(initial_population)
@@ -46,16 +47,17 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     p0 = (1 - cfg.relaxation_tau) * 0.5 + cfg.relaxation_tau * x2
     logits0 = jnp.log(p0) - jnp.log1p(-p0)
 
-    e0, fit0 = jax.jit(lambda v: energy.energy(v, x1))(x2)
+    ctx = {"energy": energy.params, "x1": x1}
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x2, x1)
     best0 = (e0, fit0, x2)
 
-    def step(state, key):
+    def step(ctx, state, key):
         logits, best = state
         k_s, k_noise = jax.random.split(key)
 
         def e_of_logits(lg):
             xh = _relaxed_bernoulli_st(k_s, lg, cfg.relaxation_tau)
-            e, fit = energy.energy(xh, x1)
+            e, fit = energy.energy(ctx["energy"], xh, ctx["x1"])
             return jnp.sum(e), (e, fit, xh)
 
         (_, (e, fit, xh)), g = jax.value_and_grad(e_of_logits, has_aux=True)(logits)
@@ -65,27 +67,23 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         ys = {"energy": e, "fitness": fit, "traj": xh[0]}
         return (new_logits, best), ys
 
-    oracle_state_fn = None
-    if oracle_fn is not None:
-        def oracle_state_fn(s):
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+
+        def oracle_fn(c, s):
             logits, _ = s
-            hard = (logits > 0).astype(x2.dtype)
-            return oracle_fn(hard, x1)
+            hard = (logits > 0).astype(jnp.float32)
+            return oracle[1](c["oracle"], hard, c["x1"])
 
     (final_logits, best), rec = base.run_segmented(
-        step_fn=step, init_state=(logits0, best0), key=key,
-        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("MALA-approx"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=(logits0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("MALA-approx"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
     final_x2 = (jax.device_get(final_logits) > 0).astype(np.float32)
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x2[0])[None], rec["traj"]], 0),
-        final_x=final_x2,
-        oracle_history=rec["oracle"],
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    res = base.package_result(e0=e0, fit0=fit0, x0_traj_head=x2[0],
+                              best=best, final_x=jnp.asarray(final_x2),
+                              rec=rec)
+    return res

@@ -37,9 +37,8 @@ def _flip_scores(x, grad):
     return grad * -(2.0 * x - 1.0)
 
 
-def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
+def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
     max_u = max(2 * cfg.pas_length - 1, 1)
-    n, D = x1.shape
 
     def inner(carry, key_and_t):
         x, grad, U = carry
@@ -53,19 +52,20 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
         x_next = live * x_new + (1 - live) * x
         return (x_next, grad, U), (idx, logp, x_next)
 
-    def step(state, key):
+    def step(ctx, state, key):
         x2, cur_e, cur_fit, best = state
+        x1 = ctx["x1"]
         k_u, k_inner, k_acc = jax.random.split(key, 3)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
         u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
         u_mask = u_mask.at[:, 0].set(1.0)  # first flip ungated
 
-        e_cur, fit_cur, grad = energy.energy_and_grad(x2, x1)
+        e_cur, fit_cur, grad = energy.energy_and_grad(ctx["energy"], x2, x1)
         keys = jax.random.split(k_inner, max_u)
         (y, _, _), (idxs, fwd_logps, traj) = jax.lax.scan(
             inner, (x2, grad, U), (keys, jnp.arange(max_u)))
 
-        e_prop, fit_prop, grad_y = energy.energy_and_grad(y, x1)
+        e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y, x1)
         rev_logits = _flip_scores(traj, grad_y[None]) / cfg.temp
         rev_logps = jax.vmap(utils.categorical_log_prob)(rev_logits, idxs)
         log_ratio = jnp.sum(u_mask.T * (rev_logps - fwd_logps), axis=0)
@@ -85,16 +85,16 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
     return step
 
 
-def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
+def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
     max_s = max(2 * cfg.gwg_samples - 1, 1)
-    n, D = x1.shape
 
-    def step(state, key):
+    def step(ctx, state, key):
         x2, cur_e, cur_fit, best = state
+        x1 = ctx["x1"]
         k_n, k_s, k_acc = jax.random.split(key, 3)
         n_samples = jax.random.randint(k_n, (), 1, 2 * cfg.gwg_samples)
 
-        e_cur, fit_cur, grad = energy.energy_and_grad(x2, x1)
+        e_cur, fit_cur, grad = energy.energy_and_grad(ctx["energy"], x2, x1)
         fwd_logits = _flip_scores(x2, grad) / cfg.temp
         idxs = jax.random.categorical(k_s, fwd_logits, axis=-1,
                                       shape=(max_s, n))
@@ -103,7 +103,7 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
         changes = (jnp.einsum("s,snd->nd", live, onehots) > 0).astype(x2.dtype)
         y = utils.flip_bits(x2, changes)
 
-        e_prop, fit_prop, grad_y = energy.energy_and_grad(y, x1)
+        e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y, x1)
         rev_logits = _flip_scores(y, grad_y) / cfg.temp
         fwd_lp = jax.vmap(utils.categorical_log_prob, in_axes=(None, 0))(
             fwd_logits, idxs)  # [max_s, n]
@@ -127,35 +127,32 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, x1: jnp.ndarray):
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int = 0, max_pos: int = 784, oracle_fn=None,
+        min_pos: int = 0, max_pos: int = 784, oracle=None,
         cfg: MNISTPPDEConfig | None = None, key: jax.Array | None = None,
-        log_every: int = 50, quiet: bool = False) -> base.SamplerResult:
+        log_every: int = 50, quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or MNISTPPDEConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     pop = jnp.asarray(initial_population)
-    D = pop.shape[1] // 2
+    n, D = pop.shape[0], pop.shape[1] // 2
     x1, x2 = pop[:, :D], pop[:, D:]
 
-    e0, fit0 = jax.jit(lambda v: energy.energy(v, x1))(x2)
+    ctx = {"energy": energy.params, "x1": x1}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+        oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0], c["x1"])
+
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x2, x1)
     best0 = (e0, fit0, x2)
     make = _make_step_pas if cfg.pas_length > 0 else _make_step_gwg
-    step = make(energy, cfg, x1)
+    step = make(energy, cfg, n, D)
 
-    oracle_state_fn = (lambda s: oracle_fn(s[0], x1)) if oracle_fn else None
     (final_x2, _, _, best), rec = base.run_segmented(
-        step_fn=step, init_state=(x2, e0, fit0, best0), key=key,
-        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("PPDE"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=(x2, e0, fit0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("PPDE"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x2[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x2)),
-        oracle_history=rec["oracle"],
-        n_accepted=rec["accepted"].sum(-1),
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x2[0],
+                               best=best, final_x=final_x2, rec=rec)

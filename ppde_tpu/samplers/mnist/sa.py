@@ -43,9 +43,10 @@ def propose_flips(key, x, mu, max_edits):
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int = 0, max_pos: int = 784, oracle_fn=None,
+        min_pos: int = 0, max_pos: int = 784, oracle=None,
         cfg: MNISTSAConfig | None = None, key: jax.Array | None = None,
-        log_every: int = 50, quiet: bool = False) -> base.SamplerResult:
+        log_every: int = 50, quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or MNISTSAConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     pop = jnp.asarray(initial_population)
@@ -56,19 +57,25 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     key, k_mu = jax.random.split(key)
     mu = cfg.muts_per_seq_param * jax.random.uniform(k_mu, (n,)) + 1.0
 
-    e0, fit0 = jax.jit(lambda v: energy.energy(v, x1))(x2_init)
+    ctx = {"energy": energy.params, "x1": x1, "init_x2": x2_init, "mu": mu}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+        oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0], c["x1"])
+
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x2_init, x1)
     best0 = (e0, fit0, x2_init)
 
-    def step(state, key):
+    def step(ctx, state, key):
         x, cur_e, cur_fit, step_i, best = state
         k_prop, k_acc = jax.random.split(key)
-        y = propose_flips(k_prop, x, mu, cfg.max_edits)
-        e_p, fit_p = energy.energy(y, x1)
+        y = propose_flips(k_prop, x, ctx["mu"], cfg.max_edits)
+        e_p, fit_p = energy.energy(ctx["energy"], y, ctx["x1"])
         T = cfg.temp * cfg.decay_rate ** step_i
         ap = jnp.minimum(jnp.exp((e_p - cur_e) / T), 1.0)
         accepted = ap > jax.random.uniform(k_acc, (n,))
         acc2 = accepted.reshape(n, 1)
-        new_x = jnp.where(acc2, y, x2_init)  # rejection -> initial image
+        new_x = jnp.where(acc2, y, ctx["init_x2"])  # rejection -> initial image
         new_e = jnp.where(accepted, e_p, cur_e)
         new_fit = jnp.where(accepted, fit_p, cur_fit)
         best = base.update_best(best, new_e, new_fit, new_x)
@@ -76,22 +83,12 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
               "traj": new_x[0]}
         return (new_x, new_e, new_fit, step_i + 1, best), ys
 
-    oracle_state_fn = (lambda s: oracle_fn(s[0], x1)) if oracle_fn else None
     state0 = (x2_init, e0, fit0, jnp.zeros((), jnp.float32), best0)
     (final_x2, _, _, _, best), rec = base.run_segmented(
-        step_fn=step, init_state=state0, key=key, num_steps=num_steps,
-        log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("SA"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=state0, key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("SA"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x2_init[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x2)),
-        oracle_history=rec["oracle"],
-        n_accepted=rec["accepted"].sum(-1),
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x2_init[0],
+                               best=best, final_x=final_x2, rec=rec)

@@ -32,7 +32,7 @@ class CMAESConfig:
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int, max_pos: int, oracle_fn,
+        min_pos: int, max_pos: int, oracle=None,
         cfg: CMAESConfig | None = None, key: jax.Array | None = None,
         log_every: int = 50, quiet: bool = False,
         seed: int = 0) -> base.SamplerResult:
@@ -40,11 +40,12 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     x0 = np.asarray(initial_population)
     n_chains, L, V = x0.shape
     wlen = max_pos + 1 - min_pos
+    eparams = energy.params
     left = jnp.asarray(x0[0, :min_pos])
     right = jnp.asarray(x0[0, max_pos + 1:])
 
     @jax.jit
-    def batch_energy(window_soft):
+    def batch_energy(eparams, left, right, window_soft):
         """[P, wlen*V] continuous candidates -> (energy, fitness, onehots)."""
         w = window_soft.reshape(-1, wlen, V)
         hard = jax.nn.one_hot(jnp.argmax(w, -1), V)
@@ -52,8 +53,10 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
             jnp.broadcast_to(left, (w.shape[0],) + left.shape),
             hard,
             jnp.broadcast_to(right, (w.shape[0],) + right.shape)], axis=1)
-        e, fit = energy.energy(full)
+        e, fit = energy.energy(eparams, full)
         return e, fit, full
+
+    fitness_jit = jax.jit(energy.fitness)
 
     es = CMAES(x0[0, min_pos:max_pos + 1].reshape(-1),
                np.sqrt(cfg.initial_variance),
@@ -63,7 +66,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     e_arch: list[float] = []
     fitness_history, energy_history, oracle_history = [], [], []
 
-    e0, fit0 = jax.jit(energy.energy)(jnp.asarray(x0))
+    e0, fit0 = jax.jit(energy.energy)(eparams, jnp.asarray(x0))
     energy_history.append(np.asarray(e0))
     fitness_history.append(np.asarray(fit0))
 
@@ -80,7 +83,8 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     t0 = time.perf_counter()
     for step in range(num_steps):
         X = es.ask()
-        e, fit, full = batch_energy(jnp.asarray(X, jnp.float32))
+        e, fit, full = batch_energy(eparams, left, right,
+                                    jnp.asarray(X, jnp.float32))
         e_np = np.asarray(e)
         es.tell(X, -e_np)
         full_np = np.asarray(full)
@@ -91,11 +95,11 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         if step > 0 and (step + 1) % log_every == 0:
             seqs, es_top = top_k()
             seqs_j = jnp.asarray(seqs)
-            fit_top = np.asarray(jax.jit(energy.fitness)(seqs_j))
+            fit_top = np.asarray(fitness_jit(eparams, seqs_j))
             fitness_history.append(fit_top)
             energy_history.append(es_top)
-            if oracle_fn is not None:
-                oracle_history.append(np.asarray(oracle_fn(seqs_j)))
+            if oracle is not None:
+                oracle_history.append(np.asarray(oracle[1](oracle[0], seqs_j)))
             # re-seed archive with the current top-K (reference :108-110)
             seq_arch = [s for s in seqs]
             e_arch = list(es_top)
@@ -109,9 +113,9 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
 
     seqs, es_top = top_k()
     seqs_j = jnp.asarray(seqs)
-    best_fit = np.asarray(jax.jit(energy.fitness)(seqs_j))
-    if oracle_fn is not None:
-        oracle_history.append(np.asarray(oracle_fn(seqs_j)))
+    best_fit = np.asarray(fitness_jit(eparams, seqs_j))
+    if oracle is not None:
+        oracle_history.append(np.asarray(oracle[1](oracle[0], seqs_j)))
 
     return base.SamplerResult(
         best_x=seqs, best_energy=es_top, best_fitness=best_fit,

@@ -39,15 +39,14 @@ def _gumbel_softmax_st(key, logits, tau):
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int, max_pos: int, oracle_fn, cfg: MALAConfig | None = None,
+        min_pos: int, max_pos: int, oracle=None, cfg: MALAConfig | None = None,
         key: jax.Array | None = None, log_every: int = 50,
-        quiet: bool = False) -> base.SamplerResult:
+        quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or MALAConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     x0 = jnp.asarray(initial_population)
     n, L, V = x0.shape
-    left = x0[:, :min_pos]
-    right = x0[:, max_pos + 1:]
     center = x0[:, min_pos:max_pos + 1]
 
     # initial relaxed logits (reference :36-39)
@@ -55,17 +54,18 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         + cfg.relaxation_tau * center
     logits0 = jnp.log(soft)
 
-    def assemble(center_hard):
-        return jnp.concatenate([left, center_hard, right], axis=1)
+    def assemble(ctx, center_hard):
+        return jnp.concatenate([ctx["left"], center_hard, ctx["right"]],
+                               axis=1)
 
-    def step(state, key):
+    def step(ctx, state, key):
         logits, best = state
         k_gs, k_noise = jax.random.split(key)
 
         def e_of_logits(lg):
             x_hard = _gumbel_softmax_st(k_gs, lg, cfg.relaxation_tau)
-            full = assemble(x_hard)
-            e, fit = energy.energy(full)
+            full = assemble(ctx, x_hard)
+            e, fit = energy.energy(ctx["energy"], full)
             return jnp.sum(e), (e, fit, full)
 
         (_, (e, fit, full)), g = jax.value_and_grad(
@@ -77,31 +77,27 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         ys = {"energy": e, "fitness": fit, "traj": full[0]}
         return (new_logits, best), ys
 
-    e0, fit0 = jax.jit(energy.energy)(x0)
-    best0 = (e0, fit0, x0)
-    oracle_state_fn = None
-    if oracle_fn is not None:
-        # oracle scored on the last discretized population via best-carry:
-        # run_segmented gives us state; reconstruct the hard sample lazily
-        def oracle_state_fn(s):
+    ctx = {"energy": energy.params, "left": x0[:, :min_pos],
+           "right": x0[:, max_pos + 1:]}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+
+        def oracle_fn(c, s):
             logits, _ = s
             hard = jax.nn.one_hot(jnp.argmax(logits, -1), V)
-            return oracle_fn(assemble(hard))
+            return oracle[1](c["oracle"], assemble(c, hard))
+
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x0)
+    best0 = (e0, fit0, x0)
 
     (final_logits, best), rec = base.run_segmented(
-        step_fn=step, init_state=(logits0, best0), key=key,
-        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("MALA-approx"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=(logits0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("MALA-approx"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    final_x = assemble(jax.nn.one_hot(jnp.argmax(final_logits, -1), V))
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x0[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x)),
-        oracle_history=rec["oracle"],
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    final_hard = jax.nn.one_hot(jnp.argmax(final_logits, -1), V)
+    final_x = assemble(ctx, final_hard)
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               best=best, final_x=final_x, rec=rec)

@@ -8,8 +8,9 @@ hard-nmut masking, one fused energy+grad at the proposal endpoint, a reverse
 path log-ratio over the stored trajectory, and a per-chain MH accept.
 
 TPU-first differences:
-  * the whole outer step is a pure (state, key) -> (state, stats) function;
-    ``log_every`` steps run as ONE lax.scan program (base.run_segmented);
+  * the whole outer step is a pure (ctx, state, key) -> (state, stats)
+    function; ``log_every`` steps run as ONE lax.scan program
+    (base.run_segmented), with parameters passed through jit as ``ctx``;
   * the variable path length U becomes a static max_u = 2*pas_len - 1 inner
     scan with per-chain masking (the reference already masks, :67-70 — here
     max_u is static so nothing ever recompiles);
@@ -40,46 +41,48 @@ class PPDEConfig:
     temp: float = 2.0            # locally-balanced g(t)=sqrt(t) temperature
 
 
-def _make_step(energy: Energy, cfg: PPDEConfig, wt: jnp.ndarray,
-               window_ok: jnp.ndarray, init_x: jnp.ndarray):
-    """Build the jittable outer-step function."""
+def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
+              n: int, L: int, V: int):
+    """Build the jittable outer-step function (ctx, state, key) -> ...
+
+    ctx must hold: 'energy' (params pytree), 'wt' [L,V], 'init_x' [N,L,V].
+    """
     max_u = max(2 * cfg.pas_length - 1, 1)
     nmut = cfg.nmut_threshold if cfg.nmut_threshold > 0 else np.iinfo(np.int32).max
-    n, L, V = init_x.shape
 
-    def masked_forward_logits(x, grad_x):
+    def masked_forward_logits(x, grad_x, wt):
         score = grad_x - jnp.sum(grad_x * x, axis=-1, keepdims=True)
         logits = score.reshape(n, L * V) / cfg.temp
         return utils.apply_proposal_masks(logits, x, wt, window_ok, nmut)
 
-    def inner(carry, key_and_t):
-        x, grad_x, U = carry
-        key, t = key_and_t
-        logits = masked_forward_logits(x, grad_x)
-        idx, fwd_logp = utils.categorical_onehot(key, logits)
-        x_new = utils.substitute(x, idx)
-        live = (t < U).reshape(n, 1, 1).astype(x.dtype)
-        x_next = live * x_new + (1 - live) * x
-        return (x_next, grad_x, U), (idx, fwd_logp, x_next)
-
-    def step(state, key):
+    def step(ctx, state, key):
         cur_x, best = state
+        wt = ctx["wt"]
         k_u, k_inner, k_acc = jax.random.split(key, 3)
 
         # per-chain path length, static scan bound (reference :67-70)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
         u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
 
-        e_cur, fit_cur, grad_x = energy.energy_and_grad(cur_x)
+        e_cur, fit_cur, grad_x = energy.energy_and_grad(ctx["energy"], cur_x)
+
+        def inner(carry, key_and_t):
+            x, t = carry
+            k, t_idx = key_and_t
+            logits = masked_forward_logits(x, grad_x, wt)
+            idx, fwd_logp = utils.categorical_onehot(k, logits)
+            x_new = utils.substitute(x, idx)
+            live = (t_idx < U).reshape(n, 1, 1).astype(x.dtype)
+            x_next = live * x_new + (1 - live) * x
+            return (x_next, t + 1), (idx, fwd_logp, x_next)
 
         inner_keys = jax.random.split(k_inner, max_u)
-        ts = jnp.arange(max_u)
-        (y, _, _), (idxs, fwd_logps, traj) = jax.lax.scan(
-            inner, (cur_x, grad_x, U), (inner_keys, ts))
+        (y, _), (idxs, fwd_logps, traj) = jax.lax.scan(
+            inner, (cur_x, 0), (inner_keys, jnp.arange(max_u)))
         # traj[t] is the state AFTER inner step t (x_1..x_max_u), matching
         # the reference's traj_list[1:] + [y] (:124-125)
 
-        e_prop, fit_prop, grad_y = energy.energy_and_grad(y)
+        e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y)
 
         # reverse path: unmasked Taylor logits at grad_y for every stored
         # intermediate state, gathered at the sampled indices (:126-132)
@@ -91,7 +94,7 @@ def _make_step(energy: Energy, cfg: PPDEConfig, wt: jnp.ndarray,
 
         log_acc = (e_prop - e_cur) + log_ratio
         accepted = (jnp.exp(log_acc) >= jax.random.uniform(k_acc, (n,)))
-        fallback = init_x if cfg.paper_results else cur_x
+        fallback = ctx["init_x"] if cfg.paper_results else cur_x
         acc3 = accepted.reshape(n, 1, 1)
         new_x = jnp.where(acc3, y, fallback)
         new_e = jnp.where(accepted, e_prop, e_cur)
@@ -114,37 +117,35 @@ def _make_step(energy: Energy, cfg: PPDEConfig, wt: jnp.ndarray,
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int, max_pos: int, oracle_fn, cfg: PPDEConfig | None = None,
+        min_pos: int, max_pos: int, oracle=None, cfg: PPDEConfig | None = None,
         key: jax.Array | None = None, log_every: int = 50,
-        quiet: bool = False) -> base.SamplerResult:
-    """Sampler contract parity with BaseSampler.run (base_sampler.py:7-15)."""
+        quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
+    """Sampler contract parity with BaseSampler.run (base_sampler.py:7-15).
+
+    oracle: optional (params, apply_fn) pair; apply_fn(params, x) -> [N].
+    """
     cfg = cfg or PPDEConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     x0 = jnp.asarray(initial_population)
     n, L, V = x0.shape
-    wt = x0[0]
     window_ok = utils.position_window_mask(L, V, min_pos, max_pos)
 
-    e0, fit0 = jax.jit(energy.energy)(x0)
+    ctx = {"energy": energy.params, "wt": x0[0], "init_x": x0}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+        oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0])
+
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x0)
     best0 = (e0, fit0, x0)
-    step = _make_step(energy, cfg, wt, window_ok, x0)
+    step = make_step(energy, cfg, window_ok, n, L, V)
 
-    oracle_state_fn = (lambda s: oracle_fn(s[0])) if oracle_fn else None
     (final_x, best), rec = base.run_segmented(
-        step_fn=step, init_state=(x0, best0), key=key, num_steps=num_steps,
-        log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("PPDE"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=(x0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("PPDE"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate(
-            [np.asarray(x0[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x)),
-        oracle_history=rec["oracle"],
-        n_accepted=rec["accepted"].sum(-1),
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               best=best, final_x=final_x, rec=rec)

@@ -27,9 +27,10 @@ class RandomConfig:
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int, max_pos: int, oracle_fn,
+        min_pos: int, max_pos: int, oracle=None,
         cfg: RandomConfig | None = None, key: jax.Array | None = None,
-        log_every: int = 50, quiet: bool = False) -> base.SamplerResult:
+        log_every: int = 50, quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or RandomConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     x0 = jnp.asarray(initial_population)
@@ -38,31 +39,29 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     key, k_mu = jax.random.split(key)
     mu = cfg.muts_per_seq_param * jax.random.uniform(k_mu, (n,)) + 1.0
 
-    e0, fit0 = jax.jit(energy.energy)(x0)
+    ctx = {"energy": energy.params, "init_x": x0, "mu": mu}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+        oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0])
+
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x0)
     best0 = (e0, fit0, x0)
 
-    def step(state, key):
-        x_new_prev, best = state
-        y = propose(key, x0, mu, min_pos, max_pos, cfg.max_edits)
-        e_p, fit_p = energy.energy(y)
+    def step(ctx, state, key):
+        _, best = state
+        y = propose(key, ctx["init_x"], ctx["mu"], min_pos, max_pos,
+                    cfg.max_edits)
+        e_p, fit_p = energy.energy(ctx["energy"], y)
         best = base.update_best(best, e_p, fit_p, y)
         ys = {"energy": e_p, "fitness": fit_p, "traj": y[0]}
         return (y, best), ys
 
-    oracle_state_fn = (lambda s: oracle_fn(s[0])) if oracle_fn else None
     (final_x, best), rec = base.run_segmented(
-        step_fn=step, init_state=(x0, best0), key=key, num_steps=num_steps,
-        log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("Random"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=(x0, best0), key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("Random"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x0[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x)),
-        oracle_history=rec["oracle"],
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               best=best, final_x=final_x, rec=rec)

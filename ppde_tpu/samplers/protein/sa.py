@@ -13,7 +13,7 @@ value (:112), also as in the reference.
 
 TPU-first: the reference's per-sequence Python loop over edits (:40-55)
 becomes a Gumbel-top-k draw of distinct positions plus a static unrolled
-substitution loop, all inside one scanned step.
+substitution loop, all inside one scanned step with explicit ctx params.
 """
 from __future__ import annotations
 
@@ -57,8 +57,7 @@ def propose(key, x, mu, min_pos, max_pos, max_edits):
     _, pos = jax.lax.top_k(gumbel, max_edits)  # [n, max_edits]
 
     # random different AA: draw in [0, V-1) and skip over the current value
-    cur = jnp.argmax(jnp.take_along_axis(
-        x, pos[:, :, None].repeat(V, -1) * 0 + pos[:, :, None], axis=1), -1)
+    cur = jnp.argmax(jnp.take_along_axis(x, pos[:, :, None], axis=1), -1)
     draw = jax.random.randint(k_aa, (n, max_edits), 0, V - 1)
     new_aa = draw + (draw >= cur).astype(draw.dtype)
 
@@ -70,19 +69,17 @@ def propose(key, x, mu, min_pos, max_pos, max_edits):
     return y
 
 
-def _make_step(energy: Energy, cfg: SAConfig, wt: jnp.ndarray,
-               init_x: jnp.ndarray, mu: jnp.ndarray,
-               min_pos: int, max_pos: int):
+def make_step(energy: Energy, cfg: SAConfig, min_pos: int, max_pos: int,
+              n: int):
     nmut = cfg.nmut_threshold if cfg.nmut_threshold > 0 else np.iinfo(np.int32).max
-    n = init_x.shape[0]
 
-    def step(state, key):
+    def step(ctx, state, key):
         x, cur_e, cur_fit, step_i, best = state
         k_prop, k_acc = jax.random.split(key)
 
-        y = propose(k_prop, x, mu, min_pos, max_pos, cfg.max_edits)
-        e_p, fit_p = energy.energy(y)
-        over = utils.mut_distance(y, wt) > nmut
+        y = propose(k_prop, x, ctx["mu"], min_pos, max_pos, cfg.max_edits)
+        e_p, fit_p = energy.energy(ctx["energy"], y)
+        over = utils.mut_distance(y, ctx["wt"]) > nmut
         e_p = jnp.where(over, utils.NEG_INF, e_p)
         fit_p = jnp.where(over, utils.NEG_INF, fit_p)
 
@@ -92,7 +89,7 @@ def _make_step(energy: Energy, cfg: SAConfig, wt: jnp.ndarray,
         acc3 = accepted.reshape(n, 1, 1)
 
         # fallback to the INITIAL population on rejection (reference :104)
-        new_x = jnp.where(acc3, y, init_x)
+        new_x = jnp.where(acc3, y, ctx["init_x"])
         # -inf proposals are rejected; recorded values sanitize -inf to 0
         # before blending (reference :109-112)
         e_p0 = jnp.where(e_p <= utils.NEG_INF, 0.0, e_p)
@@ -109,38 +106,34 @@ def _make_step(energy: Energy, cfg: SAConfig, wt: jnp.ndarray,
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
-        min_pos: int, max_pos: int, oracle_fn, cfg: SAConfig | None = None,
+        min_pos: int, max_pos: int, oracle=None, cfg: SAConfig | None = None,
         key: jax.Array | None = None, log_every: int = 50,
-        quiet: bool = False) -> base.SamplerResult:
+        quiet: bool = False,
+        checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or SAConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     x0 = jnp.asarray(initial_population)
     n = x0.shape[0]
-    wt = x0[0]
 
     key, k_mu = jax.random.split(key)
     mu = cfg.muts_per_seq_param * jax.random.uniform(k_mu, (n,)) + 1.0
 
-    e0, fit0 = jax.jit(energy.energy)(x0)
-    best0 = (e0, fit0, x0)
-    step = _make_step(energy, cfg, wt, x0, mu, min_pos, max_pos)
+    ctx = {"energy": energy.params, "wt": x0[0], "init_x": x0, "mu": mu}
+    oracle_fn = None
+    if oracle is not None:
+        ctx["oracle"] = oracle[0]
+        oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0])
 
-    oracle_state_fn = (lambda s: oracle_fn(s[0])) if oracle_fn else None
+    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x0)
+    best0 = (e0, fit0, x0)
+    step = make_step(energy, cfg, min_pos, max_pos, n)
+
     state0 = (x0, e0, fit0, jnp.zeros((), jnp.float32), best0)
     (final_x, _, _, _, best), rec = base.run_segmented(
-        step_fn=step, init_state=state0, key=key, num_steps=num_steps,
-        log_every=log_every, oracle_fn=oracle_state_fn,
-        log_fn=base.default_log("SA"), quiet=quiet)
+        step_fn=step, ctx=ctx, init_state=state0, key=key,
+        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
+        log_fn=base.default_log("SA"), quiet=quiet,
+        checkpoint_dir=checkpoint_dir)
 
-    best_e, best_fit, best_x = jax.device_get(best)
-    return base.SamplerResult(
-        best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
-        best_fitness=np.asarray(best_fit),
-        energy_history=np.concatenate([np.asarray(e0)[None], rec["energy"]], 0),
-        fitness_history=np.concatenate([np.asarray(fit0)[None], rec["fitness"]], 0),
-        random_traj=np.concatenate([np.asarray(x0[0])[None], rec["traj"]], 0),
-        final_x=np.asarray(jax.device_get(final_x)),
-        oracle_history=rec["oracle"],
-        n_accepted=rec["accepted"].sum(-1),
-        steps_per_sec=rec["steps_per_sec"],
-    )
+    return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               best=best, final_x=final_x, rec=rec)

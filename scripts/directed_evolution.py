@@ -1,0 +1,183 @@
+"""Protein directed-evolution experiment CLI.
+
+Flag-surface and artifact parity with the reference entry point
+(scripts/directed_evolution.py:34-167): same sampler/expert/energy options,
+same run-directory naming ({sampler}_{signature}_{seed}_{timestamp}), same
+artifact set (config.txt + 7 .npy files + optional MSA-Transformer scores).
+
+Runs on the TPU by default; --device is accepted for compatibility and
+ignored (JAX picks the platform).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_sampler_runner(args):
+    import jax
+
+    from ppde_tpu.samplers.protein import (cmaes, mala_approx, ppde,
+                                           random_search, sa)
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.sampler == "PPDE":
+        cfg = ppde.PPDEConfig(pas_length=args.ppde_pas_length,
+                              nmut_threshold=args.nmut_threshold,
+                              paper_results=args.paper_results)
+        return lambda **kw: ppde.run(cfg=cfg, key=key, **kw)
+    if args.sampler == "simulated_annealing":
+        cfg = sa.SAConfig(temp=args.simulated_annealing_temp,
+                          muts_per_seq_param=args.muts_per_seq_param,
+                          decay_rate=args.decay_rate,
+                          nmut_threshold=args.nmut_threshold)
+        return lambda **kw: sa.run(cfg=cfg, key=key, **kw)
+    if args.sampler == "Random":
+        cfg = random_search.RandomConfig(
+            muts_per_seq_param=args.muts_per_seq_param)
+        return lambda **kw: random_search.run(cfg=cfg, key=key, **kw)
+    if args.sampler == "MALA-approx":
+        cfg = mala_approx.MALAConfig(
+            step_size=args.diffusion_step_size,
+            relaxation_tau=args.diffusion_relaxation_tau)
+        return lambda **kw: mala_approx.run(cfg=cfg, key=key, **kw)
+    if args.sampler == "CMAES":
+        cfg = cmaes.CMAESConfig(
+            population_size=args.cmaes_population_size,
+            initial_variance=args.cmaes_initial_variance)
+        return lambda **kw: cmaes.run(cfg=cfg, seed=args.seed, **kw)
+    raise ValueError(f"unknown sampler {args.sampler}")
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ppde_tpu import runtime
+    from ppde_tpu.models import potts as potts_mod
+
+    np.random.seed(args.seed)
+
+    unique = (f"{args.sampler}_{args.seed}"
+              if args.run_signature == "" else
+              f"{args.sampler}_{args.run_signature}_{args.seed}")
+    unique += "_" + datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    results_path = Path(args.results_path, args.protein, unique)
+    results_path.mkdir(parents=True, exist_ok=True)
+
+    energy, oracle, pp, orc = runtime.build_protein_energy(args)
+    protein_dir = os.path.join(args.protein_weights, args.protein)
+    pop = runtime.make_initial_protein_population(protein_dir, args.n_chains)
+
+    e0, _ = jax.jit(energy.energy)(energy.params, pop)
+    print(f"WT protein energy: {float(e0.mean()):.3f}", flush=True)
+
+    runner = get_sampler_runner(args)
+    res = runner(energy=energy, initial_population=pop,
+                 num_steps=args.n_iters,
+                 min_pos=pp.min_pos, max_pos=pp.max_pos,
+                 oracle=oracle, log_every=args.log_every)
+
+    best = jnp.asarray(res.best_x)
+    best_oracle = np.asarray(jax.jit(oracle[1])(oracle[0], best))
+    potts_score = np.asarray(potts_mod.score(pp, best, delta=True))
+
+    qs = [0.2, 0.4, 0.6, 0.8, 1.0]
+    print(f"energy quantiles: {np.quantile(res.best_energy, qs)}")
+    print(f"fitness quantiles: {np.quantile(res.best_fitness, qs)}")
+    print(f"oracle quantiles: {np.quantile(best_oracle, qs)}")
+    print(f"potts quantiles: {np.quantile(potts_score, qs)}")
+    print(f"sampler throughput: {res.steps_per_sec:.1f} steps/s "
+          f"({res.steps_per_sec * args.n_chains:.0f} chain-steps/s)")
+
+    runtime.dump_config(args, results_path / "config.txt")
+    np.save(results_path / "population.npy", res.best_x)
+    np.save(results_path / "pred_fitness_scores.npy", res.best_fitness)
+    np.save(results_path / "oracle_fitness_scores.npy", best_oracle)
+    np.save(results_path / "potts_scores.npy", potts_score)
+    np.save(results_path / "energy_scores.npy", res.best_energy)
+    np.save(results_path / "energy_history.npy", res.energy_history)
+    np.save(results_path / "fitness_history.npy", res.fitness_history)
+
+    if not args.disable_MSA_transformer_scoring:
+        from ppde_tpu import metrics
+
+        try:
+            tscore = metrics.proteins_transformer_score(
+                np.asarray(res.best_x), protein_dir, args.msa_path,
+                args.msa_size, weights_path=args.msa_transformer_weights)
+            print(f"MSATransformer quantiles: {np.quantile(tscore, qs)}")
+            np.save(results_path / "transformer_scores.npy", tscore)
+        except FileNotFoundError as e:
+            print(f"[skip] MSA-Transformer scoring unavailable: {e}",
+                  flush=True)
+
+    print("done")
+    return results_path
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    g = p.add_argument_group("general")
+    g.add_argument("--protein_weights", type=str, default="weights")
+    g.add_argument("--results_path", type=str, default="results/proteins")
+    g.add_argument("--protein", type=str, default="PABP_YEAST_Fields2013",
+                   help="PABP_YEAST_Fields2013, "
+                        "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio, "
+                        "GFP_AEQVI_Sarkisyan2016")
+    g.add_argument("--hub_dir", type=str, default=".")
+    g.add_argument("--msa_path", type=str,
+                   default="data/proteins/PABP_YEAST.a2m")
+    g.add_argument("--msa_size", type=int, default=500)
+    g.add_argument("--seed", type=int, default=1234567)
+    g.add_argument("--device", type=str, default="tpu",
+                   help="accepted for reference compatibility; ignored")
+    g.add_argument("--log_every", type=int, default=50)
+    g.add_argument("--run_signature", type=str, default="")
+    g.add_argument("--n_iters", type=int, default=10000)
+    g.add_argument("--n_chains", type=int, default=128)
+    g.add_argument("--energy_lamda", type=float, default=5)
+    g.add_argument("--energy_function", type=str, default="product_of_experts",
+                   help="product_of_experts, supervised")
+    g.add_argument("--unsupervised_expert", type=str, default="potts",
+                   help="potts, transformer-S, transformer-M, transformer-L, "
+                        "potts+transformer")
+    g.add_argument("--sampler", type=str, default="PPDE")
+    g.add_argument("--nmut_threshold", type=int, default=0)
+    g.add_argument("--disable_MSA_transformer_scoring", action="store_true")
+    g.add_argument("--paper_results", action="store_true", default=False)
+    g.add_argument("--esm_weights", type=str, default=None,
+                   help="path to a fair-esm esm2_t*.pt checkpoint "
+                        "(transformer experts)")
+    g.add_argument("--msa_transformer_weights", type=str, default=None,
+                   help="path to a fair-esm esm_msa1b .pt checkpoint")
+    g.add_argument("--allow_random_esm", action="store_true",
+                   help="use randomly-initialized ESM2 (smoke tests only)")
+
+    sa_g = p.add_argument_group("simulated_annealing")
+    sa_g.add_argument("--simulated_annealing_temp", type=float, default=0.01)
+    sa_g.add_argument("--muts_per_seq_param", type=float, default=1.5)
+    sa_g.add_argument("--decay_rate", type=float, default=0.999)
+
+    d = p.add_argument_group("mala_approx")
+    d.add_argument("--diffusion_step_size", type=float, default=0.1)
+    d.add_argument("--diffusion_relaxation_tau", type=float, default=0.99)
+
+    c = p.add_argument_group("cmaes")
+    c.add_argument("--cmaes_population_size", type=int, default=16)
+    c.add_argument("--cmaes_initial_variance", type=float, default=0.05)
+
+    pp = p.add_argument_group("ppde")
+    pp.add_argument("--ppde_pas_length", type=int, default=2)
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

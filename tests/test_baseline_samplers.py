@@ -18,7 +18,7 @@ def setup():
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
     en = energy_mod.protein_poe(pp, ens, 1.0, wt_oh)
-    oracle = jax.jit(lambda x: potts.score(pp, x, delta=True))
+    oracle = (pp, lambda p, x: potts.score(p, x, delta=True))
     pop = jnp.repeat(wt_oh, 8, axis=0)
     return en, oracle, pop
 
@@ -35,7 +35,7 @@ def check_common(res, pop):
 
 def test_sa_run(setup):
     en, oracle, pop = setup
-    res = sa.run(en, pop, 40, 2, 17, oracle,
+    res = sa.run(en, pop, 40, 2, 17, oracle=oracle,
                  cfg=sa.SAConfig(temp=1.0, nmut_threshold=4),
                  key=jax.random.PRNGKey(3), log_every=20, quiet=True)
     check_common(res, pop)
@@ -52,7 +52,7 @@ def test_sa_rejection_resets_to_initial(setup):
     """With T -> 0 and an energy-decreasing proposal everything is rejected:
     the population must sit at the INITIAL state (reference behavior)."""
     en, oracle, pop = setup
-    res = sa.run(en, pop, 10, 2, 17, oracle,
+    res = sa.run(en, pop, 10, 2, 17, oracle=oracle,
                  cfg=sa.SAConfig(temp=1e-6),
                  key=jax.random.PRNGKey(4), log_every=10, quiet=True)
     rejected = res.final_x[~np.isclose(
@@ -68,7 +68,7 @@ def test_sa_rejection_resets_to_initial(setup):
 
 def test_random_run(setup):
     en, oracle, pop = setup
-    res = random_search.run(en, pop, 40, 2, 17, oracle,
+    res = random_search.run(en, pop, 40, 2, 17, oracle=oracle,
                             key=jax.random.PRNGKey(5), log_every=20,
                             quiet=True)
     check_common(res, pop)
@@ -79,7 +79,7 @@ def test_random_run(setup):
 
 def test_mala_run(setup):
     en, oracle, pop = setup
-    res = mala_approx.run(en, pop, 40, 2, 17, oracle,
+    res = mala_approx.run(en, pop, 40, 2, 17, oracle=oracle,
                           cfg=mala_approx.MALAConfig(step_size=0.5,
                                                      relaxation_tau=0.9),
                           key=jax.random.PRNGKey(6), log_every=20, quiet=True)
@@ -109,7 +109,7 @@ def test_cma_core_shifted_quadratic():
 
 def test_cmaes_sampler(setup):
     en, oracle, pop = setup
-    res = cmaes.run(en, pop, 30, 2, 17, oracle,
+    res = cmaes.run(en, pop, 30, 2, 17, oracle=oracle,
                     cfg=cmaes.CMAESConfig(population_size=8),
                     log_every=15, quiet=True, seed=0)
     n, L, V = pop.shape

@@ -1,0 +1,60 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppde_tpu import codec, energy as energy_mod
+from ppde_tpu.models import cnn, potts
+from ppde_tpu.samplers.protein import ppde
+
+WT = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def make():
+    pp = potts.synthetic(WT, min_pos=2, max_pos=17, seed=0)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    en = energy_mod.protein_poe(pp, ens, 1.0, wt_oh)
+    oracle = (pp, lambda p, x: potts.score(p, x, delta=True))
+    pop = jnp.repeat(wt_oh, 8, axis=0)
+    return en, oracle, pop
+
+
+def run(n_steps, ckpt_dir=None):
+    en, oracle, pop = make()
+    return ppde.run(en, pop, n_steps, 2, 17, oracle=oracle,
+                    cfg=ppde.PPDEConfig(pas_length=2),
+                    key=jax.random.PRNGKey(11), log_every=20, quiet=True,
+                    checkpoint_dir=ckpt_dir)
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """Interrupting after 40/80 steps and resuming must reproduce the
+    uninterrupted run exactly (state, key, histories)."""
+    ref = run(80)
+
+    ck = str(tmp_path / "ck")
+    partial = run(40, ckpt_dir=ck)  # writes checkpoints every segment
+    resumed = run(80, ckpt_dir=ck)  # resumes at step 40
+
+    np.testing.assert_array_equal(resumed.final_x, ref.final_x)
+    np.testing.assert_array_equal(resumed.energy_history, ref.energy_history)
+    np.testing.assert_array_equal(resumed.best_x, ref.best_x)
+    np.testing.assert_array_equal(resumed.oracle_history, ref.oracle_history)
+    # the resumed run only executed the remaining 40 steps
+    assert partial.energy_history.shape == (41, 8)
+    assert resumed.energy_history.shape == (81, 8)
+
+
+def test_checkpoint_roundtrip_structures(tmp_path):
+    from ppde_tpu import checkpoint as ckpt
+
+    state = {"a": jnp.arange(4.0), "b": (jnp.zeros((2, 2)), jnp.ones(3))}
+    key = jax.random.PRNGKey(5)
+    ckpt.save(str(tmp_path), state, key, 17,
+              {"energy": np.ones((3, 2)), "oracle": np.zeros((1, 2))})
+    assert ckpt.exists(str(tmp_path))
+    s2, k2, done, rec = ckpt.load(str(tmp_path), state)
+    assert done == 17
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(key))
+    np.testing.assert_array_equal(np.asarray(s2["a"]), np.arange(4.0))
+    np.testing.assert_array_equal(rec["energy"], np.ones((3, 2)))

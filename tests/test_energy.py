@@ -19,12 +19,12 @@ def poe():
 
 def test_protein_poe_grad_matches_autodiff(poe, rng):
     x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
-    e, fit, grad = poe.energy_and_grad(x)
-    e2, fit2 = poe.energy(x)
+    e, fit, grad = poe.energy_and_grad(poe.params, x)
+    e2, fit2 = poe.energy(poe.params, x)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(fit), np.asarray(fit2), rtol=1e-5)
 
-    g_auto = jax.grad(lambda v: poe.energy(v)[0].sum())(x)
+    g_auto = jax.grad(lambda v: poe.energy(poe.params, v)[0].sum())(x)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
                                rtol=1e-4, atol=1e-5)
 
@@ -34,8 +34,10 @@ def test_protein_poe_lambda_composition(rng):
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
     x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
-    e0, fit = energy_mod.protein_poe(pp, ens, 0.0, wt_oh).energy(x)
-    e5, _ = energy_mod.protein_poe(pp, ens, 5.0, wt_oh).energy(x)
+    en0 = energy_mod.protein_poe(pp, ens, 0.0, wt_oh)
+    e0, fit = en0.energy(en0.params, x)
+    en5 = energy_mod.protein_poe(pp, ens, 5.0, wt_oh)
+    e5, _ = en5.energy(en5.params, x)
     np.testing.assert_allclose(np.asarray(e5 - e0), 5.0 * np.asarray(fit),
                                rtol=1e-4)
     # lam=0 energy is the pure potts delta
@@ -49,9 +51,9 @@ def test_protein_supervised(rng):
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
     en = energy_mod.protein_supervised(ens, wt_oh)
     x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (4, len(WT)))))
-    e, fit, grad = en.energy_and_grad(x)
+    e, fit, grad = en.energy_and_grad(en.params, x)
     np.testing.assert_allclose(np.asarray(e), np.asarray(fit))
-    g_auto = jax.grad(lambda v: en.energy(v)[0].sum())(x)
+    g_auto = jax.grad(lambda v: en.energy(en.params, v)[0].sum())(x)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
                                rtol=1e-4, atol=1e-6)
 
@@ -71,8 +73,8 @@ def test_protein_poe_chunked_transformer_path(rng):
     e2 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh, transformer=(w, toy_transformer),
                                 chunk_size=2)
     x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (8, len(WT)))))
-    a = e1.energy_and_grad(x)
-    b = e2.energy_and_grad(x)
+    a = e1.energy_and_grad(e1.params, x)
+    b = e2.energy_and_grad(e2.params, x)
     for u, v in zip(a, b):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5,
                                    atol=1e-6)
@@ -85,10 +87,10 @@ def test_mnist_poe_grad(rng):
     en = energy_mod.mnist_poe(ebm, ens, lam=10.0, unsup_kind="ebm")
     x1 = jnp.asarray((rng.random((3, 784)) > 0.5).astype(np.float32))
     x2 = jnp.asarray((rng.random((3, 784)) > 0.5).astype(np.float32))
-    e, fit, grad = en.energy_and_grad(x2, x1)
-    e2, fit2 = en.energy(x2, x1)
+    e, fit, grad = en.energy_and_grad(en.params, x2, x1)
+    e2, fit2 = en.energy(en.params, x2, x1)
     np.testing.assert_allclose(np.asarray(e), np.asarray(e2), rtol=1e-4)
-    g_auto = jax.grad(lambda v: en.energy(v, x1)[0].sum())(x2)
+    g_auto = jax.grad(lambda v: en.energy(en.params, v, x1)[0].sum())(x2)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_auto),
                                rtol=1e-4, atol=1e-4)
 
@@ -99,7 +101,7 @@ def test_mnist_dae_energy(rng):
     en = energy_mod.mnist_poe(dae, ens, lam=1.0, unsup_kind="dae")
     x1 = jnp.asarray((rng.random((2, 784)) > 0.5).astype(np.float32))
     x2 = jnp.asarray((rng.random((2, 784)) > 0.5).astype(np.float32))
-    e, fit = en.energy(x2, x1)
+    e, fit = en.energy(en.params, x2, x1)
     assert e.shape == fit.shape == (2,)
     logp = mnist_nets.dae_log_prob(dae, x2)
     np.testing.assert_allclose(np.asarray(e), np.asarray(logp + fit), rtol=1e-4)

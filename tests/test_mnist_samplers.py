@@ -15,8 +15,8 @@ def setup():
                               mean=0.3 * np.ones(784, np.float32))
     en = energy_mod.mnist_poe(ebm, ens, lam=1.0, unsup_kind="ebm")
     oracle_params = mnist_nets.regression_init(jax.random.PRNGKey(2), nc=4)
-    oracle = jax.jit(lambda x2, x1: mnist_nets.regression_apply(
-        oracle_params, x1, x2))
+    oracle = (oracle_params,
+              lambda p, x2, x1: mnist_nets.regression_apply(p, x1, x2))
     rng = np.random.default_rng(0)
     x1 = (rng.random((6, 784)) > 0.7).astype(np.float32)
     x2 = (rng.random((6, 784)) > 0.7).astype(np.float32)
@@ -34,7 +34,7 @@ def check_common(res, pop):
 
 def test_ppde_pas_run(setup):
     en, oracle, pop = setup
-    res = ppde.run(en, pop, 20, oracle_fn=oracle,
+    res = ppde.run(en, pop, 20, oracle=oracle,
                    cfg=ppde.MNISTPPDEConfig(pas_length=3),
                    key=jax.random.PRNGKey(0), log_every=10, quiet=True)
     check_common(res, pop)
@@ -46,7 +46,7 @@ def test_ppde_pas_run(setup):
 
 def test_ppde_gwg_run(setup):
     en, oracle, pop = setup
-    res = ppde.run(en, pop, 20, oracle_fn=oracle,
+    res = ppde.run(en, pop, 20, oracle=oracle,
                    cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=3),
                    key=jax.random.PRNGKey(1), log_every=10, quiet=True)
     check_common(res, pop)
@@ -56,7 +56,7 @@ def test_ppde_gwg_run(setup):
 
 def test_gwg_single_flip_changes_one_pixel(setup):
     en, oracle, pop = setup
-    res = ppde.run(en, pop, 1, oracle_fn=None,
+    res = ppde.run(en, pop, 1, oracle=None,
                    cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=1),
                    key=jax.random.PRNGKey(2), log_every=1, quiet=True)
     x2 = np.asarray(pop[:, 784:])
@@ -66,7 +66,7 @@ def test_gwg_single_flip_changes_one_pixel(setup):
 
 def test_sa_run(setup):
     en, oracle, pop = setup
-    res = sa.run(en, pop, 20, oracle_fn=oracle,
+    res = sa.run(en, pop, 20, oracle=oracle,
                  cfg=sa.MNISTSAConfig(temp=10.0),
                  key=jax.random.PRNGKey(3), log_every=10, quiet=True)
     check_common(res, pop)
@@ -74,7 +74,7 @@ def test_sa_run(setup):
 
 def test_mala_run(setup):
     en, oracle, pop = setup
-    res = mala_approx.run(en, pop, 20, oracle_fn=oracle,
+    res = mala_approx.run(en, pop, 20, oracle=oracle,
                           cfg=mala_approx.MNISTMALAConfig(step_size=0.1),
                           key=jax.random.PRNGKey(4), log_every=10, quiet=True)
     check_common(res, pop)
@@ -82,7 +82,7 @@ def test_mala_run(setup):
 
 def test_cmaes_run(setup):
     en, oracle, pop = setup
-    res = cmaes.run(en, pop, 12, oracle_fn=oracle,
+    res = cmaes.run(en, pop, 12, oracle=oracle,
                     cfg=cmaes.MNISTCMAESConfig(population_size=6),
                     log_every=6, quiet=True)
     check_common(res, pop)
@@ -101,22 +101,25 @@ def test_gwg_boltzmann_stationarity():
     np.fill_diagonal(W, 0)
     b = rng.normal(0, 1.0, D)
 
-    def e_fn(x2, x1):
-        e = 0.5 * jnp.einsum("nd,de,ne->n", x2, W, x2) + x2 @ b
+    Wb = {"W": jnp.asarray(W.astype(np.float32)),
+          "b": jnp.asarray(b.astype(np.float32))}
+
+    def e_fn(p, x2, x1):
+        e = 0.5 * jnp.einsum("nd,de,ne->n", x2, p["W"], x2) + x2 @ p["b"]
         return e, e
 
-    def e_and_grad(x2, x1):
-        e, _ = e_fn(x2, x1)
-        grad = x2 @ W + b[None]
+    def e_and_grad(p, x2, x1):
+        e, _ = e_fn(p, x2, x1)
+        grad = x2 @ p["W"] + p["b"][None]
         return e, e, grad
 
-    en = energy_mod.Energy(energy=e_fn, energy_and_grad=e_and_grad,
-                           fitness=lambda x2, x1: e_fn(x2, x1)[0])
+    en = energy_mod.Energy(params=Wb, energy=e_fn, energy_and_grad=e_and_grad,
+                           fitness=lambda p, x2, x1: e_fn(p, x2, x1)[0])
 
     n_chains, n_steps, burn = 64, 1500, 300
     x0 = (rng.random((n_chains, D)) > 0.5).astype(np.float32)
     pop = jnp.asarray(np.concatenate([x0, x0], 1))
-    res = ppde.run(en, pop, n_steps, oracle_fn=None,
+    res = ppde.run(en, pop, n_steps, oracle=None,
                    cfg=ppde.MNISTPPDEConfig(pas_length=0, gwg_samples=1),
                    key=jax.random.PRNGKey(9), log_every=n_steps, quiet=True)
 

@@ -17,7 +17,7 @@ def make_setup(lam=1.0, seed=0):
     ens = cnn.init_ensemble(jax.random.PRNGKey(seed), 3, input_size=len(WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
     en = energy_mod.protein_poe(pp, ens, lam, wt_oh)
-    oracle = lambda x: potts.score(pp, x, delta=True)
+    oracle = (pp, lambda p, x: potts.score(p, x, delta=True))
     pop = jnp.repeat(wt_oh, 16, axis=0)
     return en, oracle, pop, pp
 
@@ -26,7 +26,7 @@ def run_short(**kw):
     en, oracle, pop, pp = make_setup()
     cfg = ppde.PPDEConfig(**kw)
     return ppde.run(en, pop, num_steps=60, min_pos=2, max_pos=17,
-                    oracle_fn=oracle, cfg=cfg, key=jax.random.PRNGKey(7),
+                    oracle=oracle, cfg=cfg, key=jax.random.PRNGKey(7),
                     log_every=30, quiet=True), en, pop
 
 
