@@ -1,0 +1,62 @@
+import numpy as np
+
+from ppde_tpu.data import mnist as dmnist
+from ppde_tpu.extras import lown
+
+
+def test_levenshtein():
+    assert lown.levenshtein("kitten", "sitting") == 3
+    assert lown.levenshtein("", "abc") == 3
+    assert lown.levenshtein("abc", "abc") == 0
+    m = lown.levenshtein_matrix(["AA", "AB", "BB"])
+    np.testing.assert_array_equal(m, [[0, 1, 2], [1, 0, 1], [2, 1, 0]])
+
+
+def test_edit_string_roundtrip():
+    wt = "ACDEFG"
+    mut = "AYDEFW"
+    es = lown.edit_string(mut, wt)
+    assert es == "C2Y:G6W"
+    assert lown.apply_edit_string(es, wt) == mut
+    assert lown.edit_string(wt, wt) == "WT"
+    assert lown.apply_edit_string("WT", wt) == wt
+
+
+def test_aa_to_dna():
+    dna = lown.aa_to_dna("MK")
+    assert dna == "ATGAAA"
+    assert len(lown.aa_to_dna(lown.AVGFP_WT)) == 3 * len(lown.AVGFP_WT)
+
+
+def test_onehot_alt_alphabet():
+    oh = lown.onehot_alt(["AB"], "BA")
+    np.testing.assert_array_equal(oh[0], [[0, 1], [1, 0]])
+
+
+def test_synthetic_mnist_pairs():
+    ds = dmnist.MNISTSumPairs("synthetic", None, "train", seed=0)
+    x1, x2, y = next(ds.batches(16))
+    assert x1.shape == x2.shape == (16, 784)
+    assert set(np.unique(x1)).issubset({0.0, 1.0})
+    assert y.shape == (16,)
+    # bounded-sum pairs (plus +-1 label noise)
+    assert y.max() <= 11.0
+
+    val = dmnist.MNISTSumPairs("synthetic", None, "val", seed=1,
+                               train_noise=False)
+    _, _, yv = next(val.batches(32))
+    assert yv.max() <= 10.0
+    assert np.all(yv == np.round(yv))
+
+
+def test_pair_index_parser(tmp_path):
+    p = tmp_path / "pairs.txt"
+    p.write_text("1 2\n3,4\n\n5 6\n")
+    np.testing.assert_array_equal(dmnist.load_pair_indices(str(p)),
+                                  [[1, 2], [3, 4], [5, 6]])
+
+
+def test_static_binary_mnist():
+    imgs = dmnist.load_static_binary_mnist("synthetic", "train")
+    assert imgs.shape == (4096, 784)
+    assert set(np.unique(imgs)).issubset({0.0, 1.0})
