@@ -61,7 +61,8 @@ def _vjp_sum(f, x):
 
 def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                 lam: float, wt_onehot, transformer=None,
-                chunk_size: int | None = None) -> Energy:
+                chunk_size: int | None = None,
+                compute_dtype=None) -> Energy:
     """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
 
     ``transformer``: optional (params, apply_fn) pair adding an ESM2
@@ -69,6 +70,8 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
     'potts+transformer' experts, energy.py:83-89). ``potts_params`` may be
     None for transformer-only. ``chunk_size`` maps the transformer (and its
     gradient) over chain chunks to bound memory for large models.
+    ``compute_dtype``: optional bf16 cast of the supervised-CNN compute
+    (the TPU analog of the reference's AMP autocast, nets.py:230).
     """
     params = {"sup": sup_ensemble}
     if potts_params is not None:
@@ -79,7 +82,7 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
         t_apply = transformer[1]
 
     def fit_fn(p, x):
-        return cnn.ensemble_apply(p["sup"], x)
+        return cnn.ensemble_apply(p["sup"], x, compute_dtype=compute_dtype)
 
     def energy(p, x):
         fit = fit_fn(p, x)

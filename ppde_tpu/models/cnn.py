@@ -32,10 +32,20 @@ def apply(params, x: jnp.ndarray) -> jnp.ndarray:
     return layers.linear(params["decoder"], h)[:, 0]
 
 
-def ensemble_apply(stacked_params, x: jnp.ndarray) -> jnp.ndarray:
-    """Mean prediction of a stacked ensemble; x [B, L, V] -> [B]."""
+def ensemble_apply(stacked_params, x: jnp.ndarray,
+                   compute_dtype=None) -> jnp.ndarray:
+    """Mean prediction of a stacked ensemble; x [B, L, V] -> [B].
+
+    compute_dtype: optional lower-precision cast (e.g. bf16) for the conv and
+    matmul inputs — the TPU-native analog of the reference's AMP autocast;
+    the mean is accumulated in float32 either way.
+    """
+    if compute_dtype is not None:
+        stacked_params = jax.tree.map(lambda a: a.astype(compute_dtype),
+                                      stacked_params)
+        x = x.astype(compute_dtype)
     preds = jax.vmap(apply, in_axes=(0, None))(stacked_params, x)
-    return jnp.mean(preds, axis=0)
+    return jnp.mean(preds.astype(jnp.float32), axis=0)
 
 
 def init_ensemble(key, n_members: int = 3, **kw):

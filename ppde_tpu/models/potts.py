@@ -36,13 +36,22 @@ from ppde_tpu import codec, io as pio
 VOCAB = codec.VOCAB_SIZE
 
 
+LANE = 128  # TPU lane width; W/h are zero-padded to multiples of LANE
+
+
+def _pad_up(n: int, m: int = LANE) -> int:
+    return ((n + m - 1) // m) * m
+
+
 @struct.dataclass
 class PottsParams:
     """Pytree of Potts parameters in MXU-friendly layout.
 
-    W: [L*V, L*V] symmetric flattened couplings, W[(j,l),(i,k)] = J[i,j,k,l],
-       with zero diagonal blocks.
-    h: [L*V] flattened fields.
+    W: [P, P] symmetric flattened couplings, W[(j,l),(i,k)] = J[i,j,k,l],
+       with zero diagonal blocks, zero-padded from L*V up to P (a multiple
+       of the 128 TPU lane width so both the XLA and Pallas paths run on
+       aligned tiles; zero padding is exact — padded lanes contribute 0).
+    h: [P] flattened fields (zero-padded).
     wt_H: scalar Hamiltonian of the wild type (for delta scoring).
     """
 
@@ -58,6 +67,10 @@ class PottsParams:
     @property
     def data_dim(self) -> int:
         return self.seq_len * VOCAB
+
+    @property
+    def padded_dim(self) -> int:
+        return self.W.shape[-1]
 
 
 def _flatten_couplings(J: np.ndarray) -> np.ndarray:
@@ -102,21 +115,42 @@ def _hamiltonian_fwd_full(W, h, xf):
 _hamiltonian_flat.defvjp(_hamiltonian_fwd_full, _hamiltonian_bwd_impl)
 
 
+def _pad_flat(params: PottsParams, x: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, V] -> zero-padded flat [B, P]."""
+    xf = x.reshape(x.shape[0], -1)
+    pad = params.padded_dim - xf.shape[-1]
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad)))
+    return xf
+
+
 def hamiltonian(params: PottsParams, x: jnp.ndarray) -> jnp.ndarray:
     """Hamiltonian of one-hot (or relaxed) x [B, L, V] over the Potts window.
 
     Parity with reference PottsModel.hamiltonian (nets.py:282-290).
     """
-    xf = x.reshape(x.shape[0], -1)
-    return _hamiltonian_flat(params.W, params.h, xf)
+    return _hamiltonian_flat(params.W, params.h, _pad_flat(params, x))
 
 
-def hamiltonian_and_grad(params: PottsParams, x: jnp.ndarray):
-    """Fused (H, dH/dx) in one matmul. x is [B, L, V] (window coords)."""
-    xf = x.reshape(x.shape[0], -1)
-    Jx = jnp.dot(xf, params.W, preferred_element_type=jnp.float32)
-    H = 0.5 * jnp.sum(xf * Jx, axis=-1) + xf @ params.h
-    grad = (Jx + params.h[None, :]).reshape(x.shape)
+def hamiltonian_and_grad(params: PottsParams, x: jnp.ndarray,
+                         use_pallas: bool | None = None):
+    """Fused (H, dH/dx) in one matmul pass. x is [B, L, V] (window coords).
+
+    use_pallas: force the Pallas TPU kernel on/off (default: on when running
+    on TPU; the XLA einsum path otherwise).
+    """
+    xf = _pad_flat(params, x)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ppde_tpu.ops import potts_pallas
+
+        H, grad_flat = potts_pallas.energy_and_grad(params.W, params.h, xf)
+    else:
+        Jx = jnp.dot(xf, params.W, preferred_element_type=jnp.float32)
+        H = 0.5 * jnp.sum(xf * Jx, axis=-1) + xf @ params.h
+        grad_flat = Jx + params.h[None, :]
+    grad = grad_flat[:, : params.data_dim].reshape(x.shape)
     return H, grad
 
 
@@ -134,10 +168,11 @@ def score(params: PottsParams, x_full: jnp.ndarray, delta: bool = True):
     return H - params.wt_H if delta else H
 
 
-def score_and_grad(params: PottsParams, x_full: jnp.ndarray, delta: bool = True):
+def score_and_grad(params: PottsParams, x_full: jnp.ndarray, delta: bool = True,
+                   use_pallas: bool | None = None):
     """Fused (score, d score / d x_full) — grad zero outside the window."""
     xw = window_slice(params, x_full)
-    H, gw = hamiltonian_and_grad(params, xw)
+    H, gw = hamiltonian_and_grad(params, xw, use_pallas=use_pallas)
     grad = jnp.zeros_like(x_full)
     grad = jax.lax.dynamic_update_slice(grad, gw, (0, params.min_pos, 0))
     return (H - params.wt_H if delta else H), grad
@@ -153,6 +188,9 @@ def _build(J: np.ndarray, h: np.ndarray, index_list: np.ndarray,
     L = h.shape[0]
     W = _flatten_couplings(np.asarray(J, np.float64)).astype(np.float32)
     hf = np.asarray(h, np.float32).reshape(L * VOCAB)
+    P = _pad_up(L * VOCAB)
+    W = np.pad(W, ((0, P - W.shape[0]), (0, P - W.shape[1])))
+    hf = np.pad(hf, (0, P - hf.shape[0]))
     idx = np.asarray(index_list) - offset
     min_pos, max_pos = int(idx[0]), int(idx[-1])
     params = PottsParams(
@@ -221,8 +259,11 @@ def synthetic(wt_seq: str, min_pos: int = 0, max_pos: int | None = None,
     wt_idx = codec.seqs_to_ints([wt_seq[min_pos : max_pos + 1]])[0]
     h[np.arange(L), wt_idx] += 2.0 * field_scale
 
+    P = _pad_up(L * VOCAB)
+    W = np.pad(W, ((0, P - W.shape[0]), (0, P - W.shape[1])))
+    hf = np.pad(h.reshape(-1), (0, P - L * VOCAB))
     params = PottsParams(
-        W=jnp.asarray(W, dtype), h=jnp.asarray(h.reshape(-1), dtype),
+        W=jnp.asarray(W, dtype), h=jnp.asarray(hf, dtype),
         wt_H=jnp.zeros(()), seq_len=L, min_pos=min_pos, max_pos=max_pos,
         reg_coef=1.0,
     )
@@ -233,4 +274,6 @@ def synthetic(wt_seq: str, min_pos: int = 0, max_pos: int | None = None,
 
 def as_dense_J(params: PottsParams) -> np.ndarray:
     """Recover the [L,L,V,V] coupling tensor (for export/inspection)."""
-    return _unflatten_couplings(np.asarray(params.W, np.float64), params.seq_len)
+    lv = params.data_dim
+    W = np.asarray(params.W, np.float64)[:lv, :lv]
+    return _unflatten_couplings(W, params.seq_len)

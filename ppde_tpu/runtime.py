@@ -89,9 +89,11 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
             chunk = 8
         elif transformer is not None:
             chunk = min(args.n_chains, 64)
+        cdt = getattr(args, "compute_dtype", "f32")
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
-            transformer=transformer, chunk_size=chunk)
+            transformer=transformer, chunk_size=chunk,
+            compute_dtype=jnp.bfloat16 if cdt == "bf16" else None)
 
     orc = oracle_mod.load(protein_dir, potts_params=pp)
     oracle = (orc, oracle_mod.apply)

@@ -160,6 +160,9 @@ def build_parser():
                    help="path to a fair-esm esm_msa1b .pt checkpoint")
     g.add_argument("--allow_random_esm", action="store_true",
                    help="use randomly-initialized ESM2 (smoke tests only)")
+    g.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                   help="supervised-CNN compute precision (bf16 ~2x faster; "
+                        "the reference uses AMP for its transformers)")
 
     sa_g = p.add_argument_group("simulated_annealing")
     sa_g.add_argument("--simulated_annealing_temp", type=float, default=0.01)

@@ -1,0 +1,112 @@
+"""CLI end-to-end tests: reference flag surface + artifact contract."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_weights_overlay():
+    link = os.path.join(REPO, "weights", "PABP_YEAST_Fields2013",
+                        "onehot_cnn_seed=0.pt")
+    if not os.path.exists(link):
+        subprocess.run([os.path.join(REPO, "tools",
+                                     "link_reference_weights.sh"), REFERENCE],
+                       check=True, capture_output=True)
+
+
+def test_parser_defaults_match_reference():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    de = importlib.import_module("directed_evolution")
+    args = de.build_parser().parse_args([])
+    # reference defaults (scripts/directed_evolution.py:113-165)
+    assert args.seed == 1234567
+    assert args.n_chains == 128
+    assert args.n_iters == 10000
+    assert args.energy_lamda == 5
+    assert args.sampler == "PPDE"
+    assert args.unsupervised_expert == "potts"
+    assert args.nmut_threshold == 0
+    assert args.ppde_pas_length == 2
+    assert args.simulated_annealing_temp == 0.01
+    assert args.muts_per_seq_param == 1.5
+    assert args.decay_rate == 0.999
+    assert args.diffusion_step_size == 0.1
+    assert args.diffusion_relaxation_tau == 0.99
+    assert args.cmaes_population_size == 16
+    assert args.cmaes_initial_variance == 0.05
+
+    ms = importlib.import_module("mnist_sum")
+    margs = ms.build_parser().parse_args([])
+    # reference defaults (scripts/mnist_sum.py:143-178)
+    assert margs.n_chains == 128
+    assert margs.energy_lamda == 10
+    assert margs.unsupervised_expert == "ebm"
+    assert margs.ppde_pas_length == 10
+    assert margs.simulated_annealing_temp == 10
+    assert margs.muts_per_seq_param == 5
+    assert margs.diffusion_step_size == 0.01
+    assert margs.cmaes_initial_variance == 0.1
+
+
+@requires_reference
+def test_directed_evolution_end_to_end(tmp_path):
+    """Tiny full CLI run on UBE4B with real artifacts -> artifact contract."""
+    _ensure_weights_overlay()
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    de = importlib.import_module("directed_evolution")
+    args = de.build_parser().parse_args([
+        "--protein", "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+        "--protein_weights", os.path.join(REPO, "weights"),
+        "--results_path", str(tmp_path),
+        "--n_iters", "10", "--n_chains", "4", "--log_every", "5",
+        "--nmut_threshold", "10", "--energy_lamda", "0.5",
+        "--disable_MSA_transformer_scoring", "--run_signature", "test",
+    ])
+    run_dir = de.main(args)
+
+    expected = ["config.txt", "population.npy", "pred_fitness_scores.npy",
+                "oracle_fitness_scores.npy", "potts_scores.npy",
+                "energy_scores.npy", "energy_history.npy",
+                "fitness_history.npy"]
+    for f in expected:
+        assert (run_dir / f).exists(), f
+    cfg = json.loads((run_dir / "config.txt").read_text())
+    assert cfg["n_iters"] == 10
+    pop = np.load(run_dir / "population.npy")
+    assert pop.shape == (4, 104, 20)
+    np.testing.assert_array_equal(pop.sum(-1), 1.0)
+    assert np.load(run_dir / "energy_history.npy").shape == (11, 4)
+
+
+@requires_reference
+def test_mnist_sum_end_to_end(tmp_path):
+    _ensure_weights_overlay()
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    ms = importlib.import_module("mnist_sum")
+    args = ms.build_parser().parse_args([
+        "--mnist_weights", os.path.join(REPO, "weights", "mnist_models"),
+        "--data_dir", os.path.join(REPO, "data", "mnist"),
+        "--results_path", str(tmp_path),
+        "--sampler", "PPDE", "--energy_function", "supervised",
+        "--n_iters", "8", "--n_chains", "4", "--log_every", "4",
+        "--ppde_pas_length", "2", "--wild_type", "0",
+        "--metrics", "viz+csv",
+    ])
+    res = ms.main(args)
+    assert res.final_x.shape == (4, 784)
+    files = os.listdir(tmp_path)
+    assert any(f.endswith("_final_population.npy") for f in files)
+    assert any(f.endswith("_pred_sums.csv") for f in files)

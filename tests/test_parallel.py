@@ -1,0 +1,92 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppde_tpu import codec, energy as energy_mod, utils
+from ppde_tpu.models import cnn, potts
+from ppde_tpu.parallel import mesh as pmesh
+from ppde_tpu.samplers.protein import ppde
+
+WT = "ACDEFGHIKLMNPQRSTVWYACDEFGHIKLMN"  # 32 residues
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def build(n_chains):
+    pp = potts.synthetic(WT, seed=0)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 4, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    en = energy_mod.protein_poe(pp, ens, 1.0, wt_oh)
+    pop = jnp.repeat(wt_oh, n_chains, axis=0)
+    return en, pp, ens, pop
+
+
+def test_dp_tp_sampler_step_matches_single_device():
+    """The sharded (dp x tp) sampler step must produce the same numbers as
+    the unsharded program (same key, same params)."""
+    en, pp, ens, pop = build(n_chains=8)
+    window_ok = utils.position_window_mask(len(WT), 20, 0, len(WT) - 1)
+    cfg = ppde.PPDEConfig(pas_length=2, nmut_threshold=10)
+    n, L, V = pop.shape
+    step = ppde.make_step(en, cfg, window_ok, n, L, V)
+    key = jax.random.PRNGKey(3)
+
+    e0, fit0 = en.energy(en.params, pop)
+    ctx = {"energy": en.params, "wt": pop[0], "init_x": pop}
+    state = (pop, (e0, fit0, pop))
+    (new_state_ref, ys_ref) = jax.jit(step)(ctx, state, key)
+
+    mesh = pmesh.make_mesh(dp=4, ep=1, tp=2)
+    pp_sh = pmesh.shard_potts(pp, mesh)
+    params_sh = dict(en.params)
+    params_sh["potts"] = pp_sh
+    pop_sh = pmesh.shard_chains(pop, mesh)
+    ctx_sh = {"energy": params_sh, "wt": pop_sh[0], "init_x": pop_sh}
+    state_sh = (pop_sh, (pmesh.shard_chains(e0, mesh),
+                         pmesh.shard_chains(fit0, mesh), pop_sh))
+    with mesh:
+        (new_state_sh, ys_sh) = jax.jit(step)(ctx_sh, state_sh, key)
+
+    np.testing.assert_allclose(np.asarray(ys_sh["energy"]),
+                               np.asarray(ys_ref["energy"]), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ys_sh["accepted"]),
+                                  np.asarray(ys_ref["accepted"]))
+    np.testing.assert_allclose(np.asarray(new_state_sh[0]),
+                               np.asarray(new_state_ref[0]), atol=1e-5)
+
+
+def test_tp_potts_matches_replicated():
+    en, pp, ens, pop = build(n_chains=8)
+    mesh = pmesh.make_mesh(dp=4, ep=1, tp=2)
+    pp_sh = pmesh.shard_potts(pp, mesh)
+    ref_e, ref_g = potts.score_and_grad(pp, pop)
+    with mesh:
+        e, g = jax.jit(lambda p, x: potts.score_and_grad(p, x))(pp_sh, pop)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(ref_e), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_ep_ensemble_matches_replicated():
+    en, pp, ens, pop = build(n_chains=8)
+    mesh = pmesh.make_mesh(dp=4, ep=2, tp=1)
+    ens_sh = pmesh.shard_ensemble(ens, mesh)  # 4 members over ep=2
+    ref = cnn.ensemble_apply(ens, pop)
+    with mesh:
+        out = jax.jit(cnn.ensemble_apply)(ens_sh, pmesh.shard_chains(pop, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_shard_placement():
+    en, pp, ens, pop = build(n_chains=8)
+    mesh = pmesh.make_mesh(dp=4, ep=1, tp=2)
+    pop_sh = pmesh.shard_chains(pop, mesh)
+    assert len(pop_sh.sharding.device_set) == 8
+    pp_sh = pmesh.shard_potts(pp, mesh)
+    # W is sharded column-wise over tp (2 shards x 4 replicas)
+    assert len(pp_sh.W.sharding.device_set) == 8

@@ -27,7 +27,7 @@ def reference_hamiltonian(J, h, x):
 def test_hamiltonian_matches_einsum_oracle(params, rng):
     L = params.seq_len
     J = potts.as_dense_J(params)
-    h = np.asarray(params.h, np.float64).reshape(L, potts.VOCAB)
+    h = np.asarray(params.h, np.float64)[: L * potts.VOCAB].reshape(L, potts.VOCAB)
     x = codec.ints_to_onehot(rng.integers(0, 20, (7, L)))
     ours = np.asarray(potts.hamiltonian(params, jnp.asarray(x)))
     ref = reference_hamiltonian(J, h, x.astype(np.float64))
@@ -94,7 +94,7 @@ def test_flatten_roundtrip(rng):
 
 def test_npz_roundtrip(tmp_path, params):
     J = potts.as_dense_J(params)
-    h = np.asarray(params.h).reshape(params.seq_len, 20)
+    h = np.asarray(params.h)[: params.seq_len * 20].reshape(params.seq_len, 20)
     path = str(tmp_path / "potts.npz")
     potts.save_npz(path, J, h, np.arange(2, 10), 1.0, 0)
     p2 = potts.load_npz(path, WT)

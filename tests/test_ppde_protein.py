@@ -72,11 +72,20 @@ def test_nmut_hard_constraint():
     assert d_final.max() < 3
 
 
-def test_energy_climbs_on_peaked_landscape():
-    """With a strongly WT-peaked landscape chains should find high-energy
-    states quickly; the best energy should clearly exceed the start."""
-    res, _, _ = run_short(pas_length=2)
-    assert np.median(res.best_energy) > np.median(res.energy_history[0])
+def test_energy_climbs_toward_shifted_optimum():
+    """Fields peaked at a DIFFERENT sequence than the start state: the
+    sampler must climb from the start toward the shifted optimum."""
+    target = "CDEFGHIKLMNPQRSTVWYA"  # WT rotated by one letter
+    pp = potts.synthetic(target, min_pos=2, max_pos=17, seed=0,
+                         coupling_scale=0.05, field_scale=1.0)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
+    en = energy_mod.protein_poe(pp, ens, 0.1,
+                                jnp.asarray(codec.seqs_to_onehot([WT])))
+    pop = jnp.repeat(jnp.asarray(codec.seqs_to_onehot([WT])), 16, axis=0)
+    res = ppde.run(en, pop, num_steps=80, min_pos=2, max_pos=17,
+                   oracle=None, cfg=ppde.PPDEConfig(pas_length=2),
+                   key=jax.random.PRNGKey(7), log_every=40, quiet=True)
+    assert np.median(res.best_energy) > np.median(res.energy_history[0]) + 1.0
 
 
 def test_acceptance_not_degenerate():
