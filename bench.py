@@ -39,6 +39,20 @@ GFP_WT = (
 N_CHAINS = 128
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeated bench/CLI invocations skip the
+    (slow, remote) TPU compile entirely."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _log(msg):
     import sys
     import time
@@ -60,7 +74,9 @@ def bench_jax(steps: int, warmup: int, dtype: str) -> float:
     _log("potts built")
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(GFP_WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([GFP_WT]))
-    en = energy_mod.protein_poe(pp, ens, lam=15.0, wt_onehot=wt_oh)
+    en = energy_mod.protein_poe(
+        pp, ens, lam=15.0, wt_onehot=wt_oh,
+        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None)
     pop = jnp.repeat(wt_oh, N_CHAINS, axis=0)
     window_ok = utils.position_window_mask(len(GFP_WT), 20, 0, len(GFP_WT) - 1)
     cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
@@ -147,7 +163,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--warmup", type=int, default=100)
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
+                    help="potts + CNN compute precision; bf16 validated quality-neutral at full scale (PARITY.md)")
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--measure-torch", action="store_true",
                     help="re-measure the torch-CPU reference baseline and "
@@ -155,6 +172,7 @@ def main():
     ap.add_argument("--torch-steps", type=int, default=1)
     args = ap.parse_args()
 
+    _enable_compile_cache()
     jax_sps = bench_jax(args.steps, args.warmup, args.dtype)
     chain_sps = jax_sps * N_CHAINS
 

@@ -114,3 +114,37 @@ def msa_region(filename: str) -> tuple[str, int, int]:
 def ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def save_txt_sharded(lines: list[str], prefix: str, n_shards: int) -> list[str]:
+    """Write lines round-robin into ``{prefix}-{i}-of-{n}.txt`` shards
+    (capability parity with the reference's sharded txt IO,
+    third_party/hsu/io_utils.py:105-151)."""
+    ensure_dir(os.path.dirname(prefix) or ".")
+    paths = [f"{prefix}-{i:05d}-of-{n_shards:05d}.txt"
+             for i in range(n_shards)]
+    handles = [open(p, "w") for p in paths]
+    try:
+        for i, line in enumerate(lines):
+            handles[i % n_shards].write(line.rstrip("\n") + "\n")
+    finally:
+        for h in handles:
+            h.close()
+    return paths
+
+
+def load_txt_sharded(prefix: str) -> list[str]:
+    """Read back shards written by save_txt_sharded, restoring order."""
+    import glob
+
+    paths = sorted(glob.glob(f"{prefix}-*-of-*.txt"))
+    if not paths:
+        raise FileNotFoundError(f"no shards match {prefix}-*-of-*.txt")
+    shards = []
+    for p in paths:
+        with open(p) as f:
+            shards.append([line.rstrip("\n") for line in f])
+    out = []
+    for i in range(sum(len(s) for s in shards)):
+        out.append(shards[i % len(shards)][i // len(shards)])
+    return out

@@ -42,3 +42,11 @@ def test_load_reference_ube4b_msa():
     assert len(msa) > 3000
     # all rows share the focus width
     assert {len(s) for _, s in msa} == {76}
+
+
+def test_sharded_txt_roundtrip(tmp_path):
+    lines = [f"seq{i}" for i in range(11)]
+    prefix = str(tmp_path / "pop")
+    paths = pio.save_txt_sharded(lines, prefix, 3)
+    assert len(paths) == 3
+    assert pio.load_txt_sharded(prefix) == lines
