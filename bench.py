@@ -97,8 +97,9 @@ def bench_jax(steps: int, warmup: int, dtype: str) -> float:
         return jax.lax.scan(body, state, keys)
 
     run = jax.jit(scan_steps, static_argnums=3)
-    e0, fit0 = jax.jit(en.energy)(ctx["energy"], pop)
-    state = (pop, (e0, fit0, pop))
+    e0, fit0, grad0 = jax.jit(en.energy_and_grad)(ctx["energy"], pop)
+    ctx["wt_e"], ctx["wt_fit"], ctx["wt_grad"] = e0[0], fit0[0], grad0[0]
+    state = (pop, (e0, fit0, grad0), (e0, fit0, pop))
     _log("energy compiled; warmup scan starting")
 
     state, _ = jax.block_until_ready(

@@ -110,7 +110,6 @@ def init(key, name: str = "transformer-S", dtype=jnp.bfloat16,
         "lm_dense": lin(keys[1], D, D),
         "lm_ln": ln(D),
         "lm_bias": jnp.zeros((ESM_VOCAB,), jnp.float32),
-        "_config": dict(cfg, name=name),
     }
 
 
@@ -159,14 +158,17 @@ def _attention(p, x, heads):
     return out @ p["o"]["w"] + p["o"]["b"]
 
 
-def forward_logits(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
+def forward_logits(params, x_onehot: jnp.ndarray,
+                   heads: int = 20) -> jnp.ndarray:
     """One-hot [B, T, 33] -> LM logits [B, T, 33] (fp32).
+
+    ``heads`` is static — architecture config stays OUT of the params pytree
+    so the pytree crosses jit boundaries as pure arrays.
 
     Eval-mode semantics of the esm_one_hot fork: embedding is x @ E (so
     gradients flow to x); token-dropout rescale uses the soft mask weight
     x[..., MASK_IDX] (exact for one-hot inputs).
     """
-    cfg = params["_config"]
     dtype = params["embed"].dtype
     x = x_onehot.astype(dtype)
     h = x @ params["embed"]
@@ -179,8 +181,7 @@ def forward_logits(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
     h = h * scale[..., None].astype(dtype)
 
     for layer in params["layers"]:
-        h = h + _attention(layer, _layer_norm(layer["attn_ln"], h),
-                           cfg["heads"])
+        h = h + _attention(layer, _layer_norm(layer["attn_ln"], h), heads)
         y = _layer_norm(layer["ffn_ln"], h)
         y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
                         approximate=False)
@@ -195,9 +196,10 @@ def forward_logits(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
     return logits + params["lm_bias"]
 
 
-def pseudo_log_likelihood(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
+def pseudo_log_likelihood(params, x_onehot: jnp.ndarray,
+                          heads: int = 20) -> jnp.ndarray:
     """sum_i x_i . log_softmax(logits_i) per sequence (nets.py:221-233)."""
-    logits = forward_logits(params, x_onehot)
+    logits = forward_logits(params, x_onehot, heads)
     lp = jax.nn.log_softmax(logits, -1)
     return jnp.sum(x_onehot.astype(jnp.float32) * lp, axis=(1, 2))
 
@@ -216,13 +218,16 @@ def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
             "fair-esm esm2_t*.pt checkpoint (this environment cannot "
             "download them), or --allow_random_esm for smoke testing.")
 
+    heads = CONFIGS[name]["heads"]
     perm = jnp.asarray(potts_to_esm_perm(), dtype)
     wt = jnp.asarray(seq_to_esm_onehot(wt_seq))[None]
-    wt_score = pseudo_log_likelihood(params, wt)
+    wt_score = pseudo_log_likelihood(params, wt, heads)
+    params = dict(params, wt_score=wt_score, perm=perm)
 
     def apply_fn(params, x):
-        x_esm = x.astype(perm.dtype) @ perm
-        return pseudo_log_likelihood(params, x_esm) - wt_score
+        x_esm = x.astype(params["perm"].dtype) @ params["perm"]
+        return (pseudo_log_likelihood(params, x_esm, heads)
+                - params["wt_score"])
 
     return params, apply_fn
 
@@ -276,5 +281,4 @@ def from_state_dict(sd: dict, name: str, dtype=jnp.bfloat16) -> dict:
         "lm_dense": lin("lm_head.dense"),
         "lm_ln": ln("lm_head.layer_norm"),
         "lm_bias": jnp.asarray(sd["lm_head.bias"], jnp.float32),
-        "_config": dict(cfg, name=name),
     }

@@ -90,7 +90,9 @@ def fit(msa_onehot: np.ndarray, weights: np.ndarray | None = None,
         return nll + reg
 
     params = {"W": jnp.zeros((L * V, L * V)), "h": jnp.zeros((L, V))}
-    opt = optax.adam(lr)
+    schedule = optax.cosine_decay_schedule(lr, decay_steps=steps,
+                                           alpha=0.02)
+    opt = optax.adam(schedule)
     opt_state = opt.init(params)
 
     @jax.jit

@@ -53,14 +53,13 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
         return (x_next, grad, U), (idx, logp, x_next)
 
     def step(ctx, state, key):
-        x2, cur_e, cur_fit, best = state
+        x2, (e_cur, fit_cur, grad), best = state
         x1 = ctx["x1"]
         k_u, k_inner, k_acc = jax.random.split(key, 3)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
         u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
         u_mask = u_mask.at[:, 0].set(1.0)  # first flip ungated
 
-        e_cur, fit_cur, grad = energy.energy_and_grad(ctx["energy"], x2, x1)
         keys = jax.random.split(k_inner, max_u)
         (y, _, _), (idxs, fwd_logps, traj) = jax.lax.scan(
             inner, (x2, grad, U), (keys, jnp.arange(max_u)))
@@ -76,11 +75,12 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
         new_x2 = jnp.where(acc2, y, x2)
         new_e = jnp.where(accepted, e_prop, e_cur)
         new_fit = jnp.where(accepted, fit_prop, fit_cur)
+        new_grad = jnp.where(acc2, grad_y, grad)
 
         best = base.update_best(best, new_e, new_fit, new_x2)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
               "traj": new_x2[0]}
-        return (new_x2, new_e, new_fit, best), ys
+        return (new_x2, (new_e, new_fit, new_grad), best), ys
 
     return step
 
@@ -89,12 +89,11 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
     max_s = max(2 * cfg.gwg_samples - 1, 1)
 
     def step(ctx, state, key):
-        x2, cur_e, cur_fit, best = state
+        x2, (e_cur, fit_cur, grad), best = state
         x1 = ctx["x1"]
         k_n, k_s, k_acc = jax.random.split(key, 3)
         n_samples = jax.random.randint(k_n, (), 1, 2 * cfg.gwg_samples)
 
-        e_cur, fit_cur, grad = energy.energy_and_grad(ctx["energy"], x2, x1)
         fwd_logits = _flip_scores(x2, grad) / cfg.temp
         idxs = jax.random.categorical(k_s, fwd_logits, axis=-1,
                                       shape=(max_s, n))
@@ -117,11 +116,12 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
         new_x2 = jnp.where(acc2, y, x2)
         new_e = jnp.where(accepted, e_prop, e_cur)
         new_fit = jnp.where(accepted, fit_prop, fit_cur)
+        new_grad = jnp.where(acc2, grad_y, grad)
 
         best = base.update_best(best, new_e, new_fit, new_x2)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
               "traj": new_x2[0]}
-        return (new_x2, new_e, new_fit, best), ys
+        return (new_x2, (new_e, new_fit, new_grad), best), ys
 
     return step
 
@@ -143,13 +143,14 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         ctx["oracle"] = oracle[0]
         oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0], c["x1"])
 
-    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x2, x1)
+    e0, fit0, grad0 = jax.jit(energy.energy_and_grad)(ctx["energy"], x2, x1)
     best0 = (e0, fit0, x2)
     make = _make_step_pas if cfg.pas_length > 0 else _make_step_gwg
     step = make(energy, cfg, n, D)
 
-    (final_x2, _, _, best), rec = base.run_segmented(
-        step_fn=step, ctx=ctx, init_state=(x2, e0, fit0, best0), key=key,
+    (final_x2, _, best), rec = base.run_segmented(
+        step_fn=step, ctx=ctx, init_state=(x2, (e0, fit0, grad0), best0),
+        key=key,
         num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
         log_fn=base.default_log("PPDE"), quiet=quiet,
         checkpoint_dir=checkpoint_dir)

@@ -18,7 +18,12 @@ TPU-first differences:
     substitution — no [N, L*V] one-hot materialization;
   * the reverse log-ratio is one vectorized gather over the stored inner
     trajectory instead of a Python loop over categoricals (:129-132);
-  * per-chain best tracking is a running carry, not a host-side history.
+  * per-chain best tracking is a running carry, not a host-side history;
+  * ONE fused energy+grad per step instead of the reference's two
+    (:79,:119): the current state's (e, fit, grad) is carried — it equals
+    the accepted endpoint's values, the previous carry on rejection, or the
+    precomputed wild-type constants after an nmut reset. Energies are
+    deterministic, so this is EXACT, not an approximation.
 """
 from __future__ import annotations
 
@@ -56,15 +61,13 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         return utils.apply_proposal_masks(logits, x, wt, window_ok, nmut)
 
     def step(ctx, state, key):
-        cur_x, best = state
+        cur_x, (e_cur, fit_cur, grad_x), best = state
         wt = ctx["wt"]
         k_u, k_inner, k_acc = jax.random.split(key, 3)
 
         # per-chain path length, static scan bound (reference :67-70)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
         u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
-
-        e_cur, fit_cur, grad_x = energy.energy_and_grad(ctx["energy"], cur_x)
 
         def inner(carry, key_and_t):
             x, t = carry
@@ -99,19 +102,36 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         new_x = jnp.where(acc3, y, fallback)
         new_e = jnp.where(accepted, e_prop, e_cur)
         new_fit = jnp.where(accepted, fit_prop, fit_cur)
+        new_grad = jnp.where(acc3, grad_y, grad_x)
+        if cfg.paper_results:
+            # rejection resets to WT in legacy mode: carry WT constants
+            new_grad = jnp.where(acc3, grad_y, ctx["wt_grad"][None])
+            new_e = jnp.where(accepted, e_prop, ctx["wt_e"])
+            new_fit = jnp.where(accepted, fit_prop, ctx["wt_fit"])
+            # NB: recorded history keeps reference semantics (pre-reset
+            # energies carry, :141) — done below via rec_e/rec_fit
+            rec_e = jnp.where(accepted, e_prop, e_cur)
+            rec_fit = jnp.where(accepted, fit_prop, fit_cur)
+        else:
+            rec_e, rec_fit = new_e, new_fit
 
-        best = base.update_best(best, new_e, new_fit, new_x)
+        best = base.update_best(best, rec_e, rec_fit, new_x)
         traj_row = new_x[0]
 
         if not cfg.paper_results:
             # hard constraint: chains that hit the budget restart from WT
-            # (recorded energy/x stay pre-reset; reference :148-153)
+            # (recorded energy/x stay pre-reset; reference :148-153); the
+            # carried energy/fit/grad switch to the precomputed WT values
             over = (utils.mut_distance(new_x, wt) >= nmut)
-            new_x = jnp.where(over.reshape(n, 1, 1), wt[None], new_x)
+            over3 = over.reshape(n, 1, 1)
+            new_x = jnp.where(over3, wt[None], new_x)
+            new_e = jnp.where(over, ctx["wt_e"], new_e)
+            new_fit = jnp.where(over, ctx["wt_fit"], new_fit)
+            new_grad = jnp.where(over3, ctx["wt_grad"][None], new_grad)
 
-        ys = {"energy": new_e, "fitness": new_fit,
+        ys = {"energy": rec_e, "fitness": rec_fit,
               "accepted": accepted, "traj": traj_row}
-        return (new_x, best), ys
+        return (new_x, (new_e, new_fit, new_grad), best), ys
 
     return step
 
@@ -137,14 +157,16 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         ctx["oracle"] = oracle[0]
         oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0])
 
-    e0, fit0 = jax.jit(energy.energy)(ctx["energy"], x0)
+    e0, fit0, grad0 = jax.jit(energy.energy_and_grad)(ctx["energy"], x0)
+    # precomputed wild-type constants for the carried-state resets
+    ctx["wt_e"], ctx["wt_fit"], ctx["wt_grad"] = e0[0], fit0[0], grad0[0]
     best0 = (e0, fit0, x0)
     step = make_step(energy, cfg, window_ok, n, L, V)
 
-    (final_x, best), rec = base.run_segmented(
-        step_fn=step, ctx=ctx, init_state=(x0, best0), key=key,
-        num_steps=num_steps, log_every=log_every, oracle_fn=oracle_fn,
-        log_fn=base.default_log("PPDE"), quiet=quiet,
+    (final_x, _, best), rec = base.run_segmented(
+        step_fn=step, ctx=ctx, init_state=(x0, (e0, fit0, grad0), best0),
+        key=key, num_steps=num_steps, log_every=log_every,
+        oracle_fn=oracle_fn, log_fn=base.default_log("PPDE"), quiet=quiet,
         checkpoint_dir=checkpoint_dir)
 
     return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],

@@ -35,12 +35,12 @@ def test_potts_to_esm_perm_maps_every_aa():
 
 def test_forward_shapes_and_grad(tiny_esm):
     x = jnp.asarray(esm2.seq_to_esm_onehot("ACDEFGH"))[None]
-    logits = esm2.forward_logits(tiny_esm, x)
+    logits = esm2.forward_logits(tiny_esm, x, heads=4)
     assert logits.shape == (1, 7, 33)
     assert logits.dtype == jnp.float32
 
     # differentiable w.r.t. the one-hot input (the whole point of the fork)
-    g = jax.grad(lambda v: esm2.pseudo_log_likelihood(tiny_esm, v).sum())(x)
+    g = jax.grad(lambda v: esm2.pseudo_log_likelihood(tiny_esm, v, 4).sum())(x)
     assert g.shape == x.shape
     assert bool(jnp.any(g != 0))
     assert np.all(np.isfinite(np.asarray(g)))
@@ -50,8 +50,8 @@ def test_pll_position_dependence(tiny_esm):
     """Rotary positions: permuting the sequence must change the PLL."""
     x1 = jnp.asarray(esm2.seq_to_esm_onehot("ACDEFGHI"))[None]
     x2 = jnp.asarray(esm2.seq_to_esm_onehot("IHGFEDCA"))[None]
-    s1 = float(esm2.pseudo_log_likelihood(tiny_esm, x1)[0])
-    s2 = float(esm2.pseudo_log_likelihood(tiny_esm, x2)[0])
+    s1 = float(esm2.pseudo_log_likelihood(tiny_esm, x1, 4)[0])
+    s2 = float(esm2.pseudo_log_likelihood(tiny_esm, x2, 4)[0])
     assert s1 != pytest.approx(s2, abs=1e-6)
 
 
@@ -59,10 +59,10 @@ def test_expert_delta_zero_at_wt(tiny_esm):
     wt = "ACDEFGHIKL"
     perm = jnp.asarray(esm2.potts_to_esm_perm())
     wt_oh = jnp.asarray(codec.seqs_to_onehot([wt]))
-    wt_score = esm2.pseudo_log_likelihood(tiny_esm, wt_oh @ perm)
+    wt_score = esm2.pseudo_log_likelihood(tiny_esm, wt_oh @ perm, 4)
 
     def apply_fn(x):
-        return esm2.pseudo_log_likelihood(tiny_esm, x @ perm) - wt_score
+        return esm2.pseudo_log_likelihood(tiny_esm, x @ perm, 4) - wt_score
 
     np.testing.assert_allclose(np.asarray(apply_fn(wt_oh)), 0.0, atol=1e-4)
 
@@ -102,7 +102,7 @@ def test_esm2_state_dict_conversion_roundtrip(rng):
 
     params = esm2.from_state_dict(sd, "tiny", dtype=jnp.float32)
     x = jnp.asarray(esm2.seq_to_esm_onehot("ACDE"))[None]
-    logits = esm2.forward_logits(params, x)
+    logits = esm2.forward_logits(params, x, heads=4)
     assert logits.shape == (1, 4, 33)
     assert np.all(np.isfinite(np.asarray(logits)))
     # converted q weight actually lands transposed in the pytree

@@ -34,9 +34,10 @@ def test_dp_tp_sampler_step_matches_single_device():
     step = ppde.make_step(en, cfg, window_ok, n, L, V)
     key = jax.random.PRNGKey(3)
 
-    e0, fit0 = en.energy(en.params, pop)
-    ctx = {"energy": en.params, "wt": pop[0], "init_x": pop}
-    state = (pop, (e0, fit0, pop))
+    e0, fit0, grad0 = en.energy_and_grad(en.params, pop)
+    ctx = {"energy": en.params, "wt": pop[0], "init_x": pop,
+           "wt_e": e0[0], "wt_fit": fit0[0], "wt_grad": grad0[0]}
+    state = (pop, (e0, fit0, grad0), (e0, fit0, pop))
     (new_state_ref, ys_ref) = jax.jit(step)(ctx, state, key)
 
     mesh = pmesh.make_mesh(dp=4, ep=1, tp=2)
@@ -44,9 +45,14 @@ def test_dp_tp_sampler_step_matches_single_device():
     params_sh = dict(en.params)
     params_sh["potts"] = pp_sh
     pop_sh = pmesh.shard_chains(pop, mesh)
-    ctx_sh = {"energy": params_sh, "wt": pop_sh[0], "init_x": pop_sh}
-    state_sh = (pop_sh, (pmesh.shard_chains(e0, mesh),
-                         pmesh.shard_chains(fit0, mesh), pop_sh))
+    ctx_sh = {"energy": params_sh, "wt": pop_sh[0], "init_x": pop_sh,
+              "wt_e": e0[0], "wt_fit": fit0[0], "wt_grad": grad0[0]}
+    state_sh = (pop_sh,
+                (pmesh.shard_chains(e0, mesh),
+                 pmesh.shard_chains(fit0, mesh),
+                 pmesh.shard_chains(grad0, mesh)),
+                (pmesh.shard_chains(e0, mesh),
+                 pmesh.shard_chains(fit0, mesh), pop_sh))
     with mesh:
         (new_state_sh, ys_sh) = jax.jit(step)(ctx_sh, state_sh, key)
 
