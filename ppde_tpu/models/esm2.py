@@ -24,7 +24,7 @@ AMP autocast, nets.py:230) with fp32 accumulation for the score.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,11 @@ Covers the reference training scripts natively:
     GWG_release repo (scripts/train_mnist.sh:25-33); here it is in-repo:
     persistent contrastive divergence with Gibbs-with-gradients chains.
 
-All loops are jitted step functions; checkpoints are orbax-compatible
-pytrees saved as npz for portability.
+TPU-first structure: datasets live ON DEVICE; batches are drawn with
+jax.random indices inside a jitted lax.scan of ``chunk`` steps, so the host
+touches the device only once per chunk (the reference's per-step DataLoader
+round-trips would be ~0.3s/step through this environment's device tunnel).
+Checkpoints are flattened-pytree npz files.
 """
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ import optax
 from ppde_tpu.models import mnist_nets
 
 
-def save_ckpt(path: str, params, step: int, opt_state=None):
+def save_ckpt(path: str, params, step: int):
     flat, treedef = jax.tree.flatten(jax.device_get(params))
     np.savez_compressed(path, step=step, treedef=str(treedef),
                         **{f"p{i}": a for i, a in enumerate(flat)})
@@ -39,6 +42,19 @@ def load_ckpt(path: str, params_like):
     return jax.tree.unflatten(treedef, loaded), int(z["step"])
 
 
+def _chunked(n_iters: int, chunk: int, *cadences: int):
+    """Yield (done, size) chunks, clamped so every log/checkpoint cadence
+    boundary lands exactly on a chunk boundary."""
+    for c in cadences:
+        if c > 0:
+            chunk = min(chunk, c)
+    done = 0
+    while done < n_iters:
+        size = min(chunk, n_iters - done)
+        yield done, size
+        done += size
+
+
 # ---------------------------------------------------------------------------
 # MNIST sum regression (ensemble members and the oracle)
 # ---------------------------------------------------------------------------
@@ -47,31 +63,66 @@ def train_regression(dataset, nc: int = 16, n_iters: int = 25000,
                      batch_size: int = 128, lr: float = 1e-3,
                      weight_decay: float = 1e-4, seed: int = 0,
                      log_every: int = 1000, ckpt_path: str | None = None,
-                     ckpt_every: int = 5000, quiet: bool = False):
+                     ckpt_every: int = 5000, quiet: bool = False,
+                     chunk: int = 250):
+    """dataset: MNISTSumPairs — its images/labels/pairs go on device; the
+    dynamic binarization, pixel-flip noise and label noise (reference
+    data/mnist.py:56-83) are re-drawn per step with jax.random."""
     params = mnist_nets.regression_init(jax.random.PRNGKey(seed), nc=nc)
     opt = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x1, x2, y):
-        def loss_fn(p):
-            pred = mnist_nets.regression_apply(p, x1, x2)
+    images = jnp.asarray(dataset.images)          # [M, 784] intensities
+    labels = jnp.asarray(dataset.labels, jnp.float32)
+    pairs = jnp.asarray(dataset.pairs)            # [P, 2]
+    train_noise = dataset.train_noise
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        k_sel, k_b1, k_b2, k_noise, k_flip, k_lab, k_sign = \
+            jax.random.split(key, 7)
+        sel = jax.random.randint(k_sel, (batch_size,), 0, pairs.shape[0])
+        a, b = pairs[sel, 0], pairs[sel, 1]
+        x1 = (jax.random.uniform(k_b1, (batch_size, images.shape[1]))
+              < images[a]).astype(jnp.float32)
+        x2 = (jax.random.uniform(k_b2, (batch_size, images.shape[1]))
+              < images[b]).astype(jnp.float32)
+        y = labels[a] + labels[b]
+        if train_noise:
+            p = jax.random.uniform(k_noise) * 0.05
+            flip = jax.random.bernoulli(k_flip, p, x1.shape)
+            x1 = jnp.where(flip, 1.0 - x1, x1)
+            x2 = jnp.where(flip, 1.0 - x2, x2)
+            noisy = jax.random.bernoulli(k_lab, 0.2, y.shape)
+            sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, y.shape),
+                             1.0, -1.0)
+            y = y + noisy * sign
+
+        def loss_fn(p_):
+            pred = mnist_nets.regression_apply(p_, x1, x2)
             return jnp.mean((pred - y) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    it = dataset.batches(batch_size)
-    for i in range(1, n_iters + 1):
-        x1, x2, y = next(it)
-        params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(x1), jnp.asarray(x2),
-                                       jnp.asarray(y))
-        if not quiet and i % log_every == 0:
-            print(f"[regression] iter {i} mse {float(loss):.4f}", flush=True)
-        if ckpt_path and i % ckpt_every == 0:
-            save_ckpt(f"{ckpt_path}_ckpt_{i}.npz", params, i)
+    @jax.jit
+    def run_chunk(params, opt_state, key, length_keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), length_keys)
+        return params, opt_state, losses.mean()
+
+    key = jax.random.PRNGKey(seed + 1)
+    for done, size in _chunked(n_iters, chunk, log_every, ckpt_every):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state, k,
+                                            jax.random.split(k, size))
+        step = done + size
+        if not quiet and (step % log_every == 0 or step == n_iters):
+            print(f"[regression] iter {step} mse {float(loss):.4f}",
+                  flush=True)
+        if ckpt_path and step % ckpt_every == 0:
+            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params
 
 
@@ -96,7 +147,8 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
               max_p: int = 15, n_iters: int = 40000, batch_size: int = 128,
               lr: float = 1e-3, seed: int = 0, log_every: int = 1000,
               ckpt_path: str | None = None, ckpt_every: int = 10000,
-              resume: str | None = None, quiet: bool = False):
+              resume: str | None = None, quiet: bool = False,
+              chunk: int = 250):
     params = mnist_nets.dae_init(jax.random.PRNGKey(seed), latent_dim,
                                  n_channels)
     opt = optax.adam(lr)
@@ -105,33 +157,45 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
     if resume:
         params, start = load_ckpt(resume, params)
 
-    @jax.jit
-    def step(params, opt_state, key, x):
-        noised = mnist_nets.dae_corrupt(key, x, max_p)
+    data = jnp.asarray(images)
 
-        def loss_fn(p):
-            z = mnist_nets.dae_encode(p, noised)
-            logits = mnist_nets.dae_decode(p, z)
-            logits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+    def one_step(carry, key):
+        params, opt_state = carry
+        k_sel, k_corrupt = jax.random.split(key)
+        sel = jax.random.randint(k_sel, (batch_size,), 0, data.shape[0])
+        x = data[sel]
+        noised = mnist_nets.dae_corrupt(k_corrupt, x, max_p)
+
+        def loss_fn(p_):
+            z = mnist_nets.dae_encode(p_, noised)
+            logits = mnist_nets.dae_decode(p_, z)
+            logits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(
+                x.shape[0], -1)
             bce = (jnp.maximum(logits, 0) - logits * x
                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
             return jnp.mean(jnp.sum(bce, -1))
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    rng = np.random.default_rng(seed)
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
     key = jax.random.PRNGKey(seed + 1)
-    for i in range(start + 1, n_iters + 1):
-        sel = rng.integers(0, len(images), batch_size)
+    for done, size in _chunked(n_iters - start, chunk, log_every,
+                               ckpt_every):
         key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k,
-                                       jnp.asarray(images[sel]))
-        if not quiet and i % log_every == 0:
-            print(f"[dae] iter {i} bce {float(loss):.3f}", flush=True)
-        if ckpt_path and i % ckpt_every == 0:
-            save_ckpt(f"{ckpt_path}_ckpt_{i}.npz", params, i)
+        params, opt_state, loss = run_chunk(params, opt_state,
+                                            jax.random.split(k, size))
+        step = start + done + size
+        if not quiet and (step % log_every == 0 or step == n_iters):
+            print(f"[dae] iter {step} bce {float(loss):.3f}", flush=True)
+        if ckpt_path and step % ckpt_every == 0:
+            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params
 
 
@@ -141,12 +205,12 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 
 def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
               batch_size: int = 100, buffer_size: int = 1000,
-              sampling_steps: int = 20, lr: float = 1e-4, alpha: float = 1.0,
+              sampling_steps: int = 20, lr: float = 1e-4,
               seed: int = 0, log_every: int = 200,
               ckpt_path: str | None = None, ckpt_every: int = 2000,
-              quiet: bool = False):
+              quiet: bool = False, chunk: int = 50):
     """Persistent CD: maximize E[logp(data)] - E[logp(buffer)] with GWG
-    chain updates on the replay buffer (the method of the upstream
+    chain updates on an on-device replay buffer (the method of the upstream
     GWG_release trainer the reference shells out to)."""
     mean = images.mean(0).clip(1e-2, 1 - 1e-2)
     params = mnist_nets.ebm_init(jax.random.PRNGKey(seed), n_channels,
@@ -154,9 +218,11 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    data = jnp.asarray(images)
     rng = np.random.default_rng(seed)
-    buffer = (rng.random((buffer_size, images.shape[1]))
-              < mean[None]).astype(np.float32)
+    buffer0 = jnp.asarray(
+        (rng.random((buffer_size, images.shape[1]))
+         < np.asarray(mean)[None]).astype(np.float32))
 
     def gwg_step(params, x, key):
         def e_fn(v):
@@ -168,7 +234,6 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
         idx = jax.random.categorical(k1, logits, axis=-1)
         flip = jax.nn.one_hot(idx, x.shape[-1], dtype=x.dtype)
         y = (1 - x) * flip + x * (1 - flip)
-        # MH correction
         e_x = mnist_nets.ebm_log_prob(params, x)
         e_y = mnist_nets.ebm_log_prob(params, y)
         fwd = jax.nn.log_softmax(logits, -1)[jnp.arange(x.shape[0]), idx]
@@ -178,43 +243,48 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
         acc = (jnp.exp(la) > jax.random.uniform(k2, (x.shape[0],)))
         return jnp.where(acc[:, None], y, x)
 
-    @jax.jit
-    def sample_chain(params, x, key):
-        def body(c, k):
-            return gwg_step(params, c, k), ()
+    def one_step(carry, key):
+        params, opt_state, buffer = carry
+        k_data, k_bin, k_buf, k_chain = jax.random.split(key, 4)
+        sel = jax.random.randint(k_data, (batch_size,), 0, data.shape[0])
+        x_data = (jax.random.uniform(k_bin, (batch_size, data.shape[1]))
+                  < data[sel]).astype(jnp.float32)
+        bsel = jax.random.randint(k_buf, (batch_size,), 0, buffer.shape[0])
 
-        keys = jax.random.split(key, sampling_steps)
-        out, _ = jax.lax.scan(body, x, keys)
-        return out
+        def chain_body(x, k):
+            return gwg_step(params, x, k), ()
 
-    @jax.jit
-    def train_step(params, opt_state, x_data, x_model):
-        def loss_fn(p):
-            lp_data = mnist_nets.ebm_log_prob(p, x_data).mean()
-            lp_model = mnist_nets.ebm_log_prob(p, x_model).mean()
-            # energy-magnitude regularizer as in standard EBM training
-            reg = alpha * (mnist_nets.ebm_net_apply(p, x_data) ** 2).mean()
-            return -(lp_data - lp_model) + 0.0 * reg, (lp_data, lp_model)
+        x_model, _ = jax.lax.scan(chain_body, buffer[bsel],
+                                  jax.random.split(k_chain, sampling_steps))
+
+        def loss_fn(p_):
+            lp_data = mnist_nets.ebm_log_prob(p_, x_data).mean()
+            lp_model = mnist_nets.ebm_log_prob(p_, x_model).mean()
+            return -(lp_data - lp_model), (lp_data, lp_model)
 
         (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, aux
+        params = optax.apply_updates(params, updates)
+        buffer = buffer.at[bsel].set(x_model)
+        return (params, opt_state, buffer), (loss, aux[0], aux[1])
+
+    @jax.jit
+    def run_chunk(params, opt_state, buffer, keys):
+        (params, opt_state, buffer), (losses, lpd, lpm) = jax.lax.scan(
+            one_step, (params, opt_state, buffer), keys)
+        return params, opt_state, buffer, losses.mean(), lpd.mean(), lpm.mean()
 
     key = jax.random.PRNGKey(seed + 7)
-    for i in range(1, n_iters + 1):
-        sel = rng.integers(0, len(images), batch_size)
-        x_data = (rng.random((batch_size, images.shape[1]))
-                  < images[sel]).astype(np.float32)
-        bsel = rng.integers(0, buffer_size, batch_size)
+    buffer = buffer0
+    for done, size in _chunked(n_iters, chunk, log_every, ckpt_every):
         key, k = jax.random.split(key)
-        x_model = sample_chain(params, jnp.asarray(buffer[bsel]), k)
-        params, opt_state, loss, (lpd, lpm) = train_step(
-            params, opt_state, jnp.asarray(x_data), x_model)
-        buffer[bsel] = np.asarray(x_model)
-        if not quiet and i % log_every == 0:
-            print(f"[ebm] iter {i} obj {float(loss):.3f} "
+        params, opt_state, buffer, loss, lpd, lpm = run_chunk(
+            params, opt_state, buffer, jax.random.split(k, size))
+        step = done + size
+        if not quiet and (step % log_every == 0 or step == n_iters):
+            print(f"[ebm] iter {step} obj {float(loss):.3f} "
                   f"logp_data {float(lpd):.1f} logp_model {float(lpm):.1f}",
                   flush=True)
-        if ckpt_path and i % ckpt_every == 0:
-            save_ckpt(f"{ckpt_path}_ckpt_{i}.npz", params, i)
+        if ckpt_path and step % ckpt_every == 0:
+            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params

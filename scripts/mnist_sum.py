@@ -40,18 +40,59 @@ def build_energy(args):
     if args.energy_function == "supervised":
         return energy_mod.mnist_supervised(ens)
 
+    def load_unsup(torch_name, npz_glob, converter, init_like):
+        """Reference .pt checkpoint if present, else our trainer's .npz
+        (the reference's EBM/DAE blobs are missing upstream — train
+        replacements with scripts/train_binary_mnist_{ebm,dae}.py)."""
+        import glob
+
+        from ppde_tpu import training
+
+        pt = w / torch_name
+        if pt.exists():
+            return jax.tree.map(jnp.asarray, converter(str(pt)))
+        npzs = sorted(glob.glob(str(w / npz_glob)))
+        if npzs:
+            params, _ = training.load_ckpt(npzs[-1], init_like)
+            return params
+        raise FileNotFoundError(
+            f"neither {pt} nor {w / npz_glob} exists; the reference repo's "
+            "blob is missing — train one with scripts/train_binary_mnist_"
+            f"{args.unsupervised_expert}.py")
+
     if args.unsupervised_expert == "ebm":
-        params = torch_convert.resnet_ebm(str(w / "mnist_ebm.pt"))
         eps = 1e-2
         mean = np.load(os.path.join(args.data_dir, "mnist_mean.npy")).reshape(-1)
-        params["mean"] = mean * (1.0 - 2 * eps) + eps
-        params = jax.tree.map(jnp.asarray, params)
+        mean = mean * (1.0 - 2 * eps) + eps
+        init_like = mnist_nets_init_ebm(mean)
+        params = load_unsup("mnist_ebm.pt", "mnist_ebm_ckpt_*.npz",
+                            torch_convert.resnet_ebm, init_like)
+        params["mean"] = jnp.asarray(mean, jnp.float32)
         return energy_mod.mnist_poe(params, ens, args.energy_lamda, "ebm")
     if args.unsupervised_expert == "dae":
-        params = jax.tree.map(jnp.asarray, torch_convert.dae(
-            str(w / "mnist_binary_dae.pt")))
+        init_like = mnist_nets_init_dae()
+        params = load_unsup("mnist_binary_dae.pt", "mnist_binary_dae_ckpt_*.npz",
+                            torch_convert.dae, init_like)
         return energy_mod.mnist_poe(params, ens, args.energy_lamda, "dae")
     raise ValueError(args.unsupervised_expert)
+
+
+def mnist_nets_init_ebm(mean):
+    import jax
+
+    from ppde_tpu.models import mnist_nets
+
+    return mnist_nets.ebm_init(jax.random.PRNGKey(0), n_channels=64,
+                               mean=mean)
+
+
+def mnist_nets_init_dae():
+    import jax
+
+    from ppde_tpu.models import mnist_nets
+
+    return mnist_nets.dae_init(jax.random.PRNGKey(0), latent_dim=16,
+                               n_channels=64)
 
 
 def get_sampler_runner(args):
