@@ -206,16 +206,18 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
               batch_size: int = 100, buffer_size: int = 1000,
               sampling_steps: int = 20, lr: float = 1e-4,
-              seed: int = 0, log_every: int = 200,
+              p_control: float = 1e-2, seed: int = 0, log_every: int = 200,
               ckpt_path: str | None = None, ckpt_every: int = 2000,
               quiet: bool = False, chunk: int = 50):
     """Persistent CD: maximize E[logp(data)] - E[logp(buffer)] with GWG
     chain updates on an on-device replay buffer (the method of the upstream
-    GWG_release trainer the reference shells out to)."""
+    GWG_release trainer the reference shells out to). ``p_control``
+    penalizes the squared energy-net outputs — without it the CD objective
+    drives the energies unboundedly apart."""
     mean = images.mean(0).clip(1e-2, 1 - 1e-2)
     params = mnist_nets.ebm_init(jax.random.PRNGKey(seed), n_channels,
                                  mean=mean)
-    opt = optax.adam(lr)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = opt.init(params)
 
     data = jnp.asarray(images)
@@ -260,7 +262,10 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
         def loss_fn(p_):
             lp_data = mnist_nets.ebm_log_prob(p_, x_data).mean()
             lp_model = mnist_nets.ebm_log_prob(p_, x_model).mean()
-            return -(lp_data - lp_model), (lp_data, lp_model)
+            reg = p_control * (
+                (mnist_nets.ebm_net_apply(p_, x_data) ** 2).mean()
+                + (mnist_nets.ebm_net_apply(p_, x_model) ** 2).mean())
+            return -(lp_data - lp_model) + reg, (lp_data, lp_model)
 
         (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(g, opt_state, params)
