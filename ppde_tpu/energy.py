@@ -123,12 +123,12 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                   wt_onehot=wt_onehot)
 
 
-def protein_supervised(sup_ensemble, wt_onehot) -> Energy:
+def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None) -> Energy:
     """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
     params = {"sup": sup_ensemble}
 
     def fit_fn(p, x):
-        return cnn.ensemble_apply(p["sup"], x)
+        return cnn.ensemble_apply(p["sup"], x, compute_dtype=compute_dtype)
 
     def energy(p, x):
         fit = fit_fn(p, x)

@@ -80,8 +80,11 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
             allow_random=getattr(args, "allow_random_esm", False))
         transformer = (params, apply_fn)
 
+    cdt0 = getattr(args, "compute_dtype", "f32")
+    cdt_j = jnp.bfloat16 if cdt0 == "bf16" else None
     if args.energy_function == "supervised":
-        en = energy_mod.protein_supervised(sup, wt_onehot)
+        en = energy_mod.protein_supervised(sup, wt_onehot,
+                                           compute_dtype=cdt_j)
     else:
         use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
         chunk = None
@@ -89,11 +92,10 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
             chunk = 8
         elif transformer is not None:
             chunk = min(args.n_chains, 64)
-        cdt = getattr(args, "compute_dtype", "f32")
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
             transformer=transformer, chunk_size=chunk,
-            compute_dtype=jnp.bfloat16 if cdt == "bf16" else None)
+            compute_dtype=cdt_j)
 
     orc = oracle_mod.load(protein_dir, potts_params=pp)
     oracle = (orc, oracle_mod.apply)

@@ -58,3 +58,26 @@ def test_checkpoint_roundtrip_structures(tmp_path):
     np.testing.assert_array_equal(np.asarray(k2), np.asarray(key))
     np.testing.assert_array_equal(np.asarray(s2["a"]), np.arange(4.0))
     np.testing.assert_array_equal(rec["energy"], np.ones((3, 2)))
+
+
+def test_segmented_runner_records_shapes():
+    """run_segmented plumbing: records concat across segments, oracle at
+    boundaries, steps_per_sec present."""
+    import jax.numpy as jnp
+
+    from ppde_tpu.samplers import base
+
+    def step(ctx, s, key):
+        s = s + ctx["inc"]
+        return s, {"energy": s, "fitness": s * 2}
+
+    state, rec = base.run_segmented(
+        step_fn=step, ctx={"inc": jnp.ones(4)},
+        init_state=jnp.zeros(4), key=jax.random.PRNGKey(0),
+        num_steps=25, log_every=10,
+        oracle_fn=lambda c, s: s + 100.0, quiet=True)
+    assert rec["energy"].shape == (25, 4)
+    assert rec["oracle"].shape == (4, 4)  # initial + 3 segment boundaries
+    assert rec["steps_per_sec"] > 0
+    np.testing.assert_allclose(np.asarray(state), 25.0)
+    np.testing.assert_allclose(rec["oracle"][-1], 125.0)
