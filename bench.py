@@ -36,7 +36,7 @@ GFP_WT = (
     "LEFVTAAGITHGMDELYK"
 )
 
-N_CHAINS = 128
+N_CHAINS = 128  # reference canonical population
 
 
 def _enable_compile_cache():
@@ -60,7 +60,8 @@ def _log(msg):
           flush=True)
 
 
-def bench_jax(steps: int, warmup: int, dtype: str) -> float:
+def bench_jax(steps: int, warmup: int, dtype: str,
+              n_chains: int = N_CHAINS) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +78,7 @@ def bench_jax(steps: int, warmup: int, dtype: str) -> float:
     en = energy_mod.protein_poe(
         pp, ens, lam=15.0, wt_onehot=wt_oh,
         compute_dtype=jnp.bfloat16 if dtype == "bf16" else None)
-    pop = jnp.repeat(wt_oh, N_CHAINS, axis=0)
+    pop = jnp.repeat(wt_oh, n_chains, axis=0)
     window_ok = utils.position_window_mask(len(GFP_WT), 20, 0, len(GFP_WT) - 1)
     cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
     n, L, V = pop.shape
@@ -171,11 +172,13 @@ def main():
                     help="re-measure the torch-CPU reference baseline and "
                          "cache it in tools/torch_baseline.json")
     ap.add_argument("--torch-steps", type=int, default=1)
+    ap.add_argument("--chains", type=int, default=N_CHAINS)
     args = ap.parse_args()
 
     _enable_compile_cache()
-    jax_sps = bench_jax(args.steps, args.warmup, args.dtype)
-    chain_sps = jax_sps * N_CHAINS
+    jax_sps = bench_jax(args.steps, args.warmup, args.dtype,
+                        args.chains)
+    chain_sps = jax_sps * args.chains
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "torch_baseline.json")
@@ -184,7 +187,7 @@ def main():
         torch_sps = bench_torch_reference(args.torch_steps)
         with open(cache, "w") as f:
             json.dump({"torch_cpu_steps_per_sec": torch_sps,
-                       "n_chains": N_CHAINS, "protein": "GFP"}, f)
+                       "n_chains": args.chains, "protein": "GFP"}, f)
     elif not args.skip_torch and os.path.exists(cache):
         with open(cache) as f:
             torch_sps = json.load(f)["torch_cpu_steps_per_sec"]
@@ -199,7 +202,7 @@ def main():
         "vs_baseline": round(vs, 2),
         "detail": {
             "sampler_steps_per_sec": round(jax_sps, 2),
-            "n_chains": N_CHAINS,
+            "n_chains": args.chains,
             "torch_cpu_reference_steps_per_sec": (
                 round(torch_sps, 4) if torch_sps else None),
             "dtype": args.dtype,
