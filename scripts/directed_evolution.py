@@ -28,26 +28,30 @@ def get_sampler_runner(args):
                                            random_search, sa)
 
     key = jax.random.PRNGKey(args.seed)
+    ck = args.checkpoint_dir or None
     if args.sampler == "PPDE":
         cfg = ppde.PPDEConfig(pas_length=args.ppde_pas_length,
                               nmut_threshold=args.nmut_threshold,
                               paper_results=args.paper_results)
-        return lambda **kw: ppde.run(cfg=cfg, key=key, **kw)
+        return lambda **kw: ppde.run(cfg=cfg, key=key, checkpoint_dir=ck,
+                                     **kw)
     if args.sampler == "simulated_annealing":
         cfg = sa.SAConfig(temp=args.simulated_annealing_temp,
                           muts_per_seq_param=args.muts_per_seq_param,
                           decay_rate=args.decay_rate,
                           nmut_threshold=args.nmut_threshold)
-        return lambda **kw: sa.run(cfg=cfg, key=key, **kw)
+        return lambda **kw: sa.run(cfg=cfg, key=key, checkpoint_dir=ck, **kw)
     if args.sampler == "Random":
         cfg = random_search.RandomConfig(
             muts_per_seq_param=args.muts_per_seq_param)
-        return lambda **kw: random_search.run(cfg=cfg, key=key, **kw)
+        return lambda **kw: random_search.run(cfg=cfg, key=key,
+                                              checkpoint_dir=ck, **kw)
     if args.sampler == "MALA-approx":
         cfg = mala_approx.MALAConfig(
             step_size=args.diffusion_step_size,
             relaxation_tau=args.diffusion_relaxation_tau)
-        return lambda **kw: mala_approx.run(cfg=cfg, key=key, **kw)
+        return lambda **kw: mala_approx.run(cfg=cfg, key=key,
+                                            checkpoint_dir=ck, **kw)
     if args.sampler == "CMAES":
         cfg = cmaes.CMAESConfig(
             population_size=args.cmaes_population_size,
@@ -160,6 +164,10 @@ def build_parser():
                    help="path to a fair-esm esm_msa1b .pt checkpoint")
     g.add_argument("--allow_random_esm", action="store_true",
                    help="use randomly-initialized ESM2 (smoke tests only)")
+    g.add_argument("--checkpoint_dir", type=str, default="",
+                   help="persist sampler state each log segment and resume "
+                        "from an existing checkpoint (capability absent "
+                        "from the reference)")
     g.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
                    help="supervised-CNN compute precision (bf16 ~2x faster; "
                         "the reference uses AMP for its transformers)")
