@@ -61,7 +61,7 @@ def _log(msg):
 
 
 def bench_jax(steps: int, warmup: int, dtype: str,
-              n_chains: int = N_CHAINS) -> float:
+              n_chains: int = N_CHAINS, fused_cnn: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +77,8 @@ def bench_jax(steps: int, warmup: int, dtype: str,
     wt_oh = jnp.asarray(codec.seqs_to_onehot([GFP_WT]))
     en = energy_mod.protein_poe(
         pp, ens, lam=15.0, wt_onehot=wt_oh,
-        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None)
+        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
+        fused_cnn=fused_cnn)
     pop = jnp.repeat(wt_oh, n_chains, axis=0)
     window_ok = utils.position_window_mask(len(GFP_WT), 20, 0, len(GFP_WT) - 1)
     cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
@@ -103,16 +104,22 @@ def bench_jax(steps: int, warmup: int, dtype: str,
     state = (pop, (e0, fit0, grad0), (e0, fit0, pop))
     _log("energy compiled; warmup scan starting")
 
-    state, _ = jax.block_until_ready(
-        run(ctx, state, jax.random.PRNGKey(1), warmup))
+    def finish(out):
+        """Force completion with a host readback: under the axon tunnel,
+        block_until_ready can return before a pure-XLA program has actually
+        executed (measured: a 1200-iter 50-GFLOP scan 'completing' in
+        0.03 ms); a scalar device->host transfer cannot lie."""
+        state, ys = out
+        _ = float(ys[0][-1])
+        return state, ys
+
+    state, _ = finish(run(ctx, state, jax.random.PRNGKey(1), warmup))
     _log("warmup done; timed scan starting")
     # compile the timed length before timing
-    state, _ = jax.block_until_ready(
-        run(ctx, state, jax.random.PRNGKey(3), steps))
+    state, _ = finish(run(ctx, state, jax.random.PRNGKey(3), steps))
     _log("timed-length compile done; timing")
     t0 = time.perf_counter()
-    state, ys = jax.block_until_ready(
-        run(ctx, state, jax.random.PRNGKey(2), steps))
+    state, ys = finish(run(ctx, state, jax.random.PRNGKey(2), steps))
     dt = time.perf_counter() - t0
     _log(f"done: {steps/dt:.1f} steps/s")
     return steps / dt
@@ -173,11 +180,16 @@ def main():
                          "cache it in tools/torch_baseline.json")
     ap.add_argument("--torch-steps", type=int, default=1)
     ap.add_argument("--chains", type=int, default=N_CHAINS)
+    ap.add_argument("--fused-cnn", action="store_true",
+                    help="use the fused Pallas CNN kernel for the "
+                         "supervised expert (wins in isolation, ~6%% slower "
+                         "in the full step: the extra pallas call is a "
+                         "fusion barrier)")
     args = ap.parse_args()
 
     _enable_compile_cache()
     jax_sps = bench_jax(args.steps, args.warmup, args.dtype,
-                        args.chains)
+                        args.chains, fused_cnn=args.fused_cnn)
     chain_sps = jax_sps * args.chains
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),

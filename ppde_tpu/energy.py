@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ppde_tpu.models import cnn, mnist_nets
 from ppde_tpu.models import potts as potts_mod
+from ppde_tpu.ops import cnn_pallas
 
 
 @dataclass(frozen=True)
@@ -59,10 +60,25 @@ def _vjp_sum(f, x):
 # protein energies
 # ---------------------------------------------------------------------------
 
+def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False):
+    """Supervised CNN (fitness, d mean-fitness/dx): fused Pallas kernel or
+    the XLA VJP path. The fused kernel (ops/cnn_pallas.py) keeps all
+    ensemble activations VMEM-resident: 0.29 ms vs 0.60 ms for the XLA VJP
+    at GFP 128-chain shapes."""
+    if fused_cnn:
+        return cnn_pallas.ensemble_apply_and_grad(
+            p["sup"], x, compute_dtype=compute_dtype or jnp.bfloat16,
+            interpret=interpret)
+    return _vjp_sum(
+        lambda v: cnn.ensemble_apply(p["sup"], v,
+                                     compute_dtype=compute_dtype), x)
+
+
 def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                 lam: float, wt_onehot, transformer=None,
                 chunk_size: int | None = None,
-                compute_dtype=None) -> Energy:
+                compute_dtype=None, fused_cnn: bool = False,
+                interpret: bool = False) -> Energy:
     """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
 
     ``transformer``: optional (params, apply_fn) pair adding an ESM2
@@ -72,6 +88,10 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
     gradient) over chain chunks to bound memory for large models.
     ``compute_dtype``: optional bf16 cast of the supervised-CNN compute
     (the TPU analog of the reference's AMP autocast, nets.py:230).
+    ``fused_cnn``: route energy_and_grad's supervised term through the
+    fused Pallas forward+input-gradient kernel (bf16 unless compute_dtype
+    says otherwise); ``interpret`` runs that kernel in interpret mode
+    (CPU tests).
     """
     params = {"sup": sup_ensemble}
     if potts_params is not None:
@@ -105,7 +125,8 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
         return es.reshape(n), gs.reshape(x.shape)
 
     def energy_and_grad(p, x):
-        fit, fit_grad = _vjp_sum(lambda v: fit_fn(p, v), x)
+        fit, fit_grad = _fit_and_grad(p, x, compute_dtype, fused_cnn,
+                                      interpret)
         e = lam * fit
         grad = lam * fit_grad
         if "potts" in p:
@@ -123,7 +144,9 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                   wt_onehot=wt_onehot)
 
 
-def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None) -> Energy:
+def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None,
+                       fused_cnn: bool = False,
+                       interpret: bool = False) -> Energy:
     """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
     params = {"sup": sup_ensemble}
 
@@ -135,7 +158,7 @@ def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None) -> Energy:
         return fit, fit
 
     def energy_and_grad(p, x):
-        fit, g = _vjp_sum(lambda v: fit_fn(p, v), x)
+        fit, g = _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret)
         return fit, fit, g
 
     return Energy(params=params, energy=energy,

@@ -1,0 +1,110 @@
+"""Fused CNN-ensemble Pallas kernel: equivalence with the XLA VJP path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppde_tpu import codec
+from ppde_tpu.models import cnn
+from ppde_tpu.ops import cnn_pallas
+
+L, V, B, M = 36, 20, 32, 3
+
+
+@pytest.fixture(scope="module")
+def setup(rng=np.random.default_rng(0)):
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), M, input_size=L)
+    x = jnp.asarray(codec.ints_to_onehot(
+        np.random.default_rng(1).integers(0, V, (B, L))))
+    return ens, x
+
+
+def xla_fit_and_grad(ens, x):
+    fit, vjp = jax.vjp(lambda v: cnn.ensemble_apply(ens, v), x)
+    (gx,) = vjp(jnp.ones_like(fit))
+    return fit, gx
+
+
+def test_im2col_roundtrip(setup):
+    ens, x = setup
+    P = cnn_pallas.im2col(x)
+    assert P.shape == (B, L - 4, 100)
+    # transpose property: <im2col(x), Q> == <x, col2im(Q)>
+    rng = np.random.default_rng(2)
+    Q = jnp.asarray(rng.random(P.shape).astype(np.float32))
+    lhs = float(jnp.sum(P * Q))
+    rhs = float(jnp.sum(x * cnn_pallas.col2im(Q, L)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_fused_matches_xla_f32(setup):
+    ens, x = setup
+    fit_ref, gx_ref = xla_fit_and_grad(ens, x)
+    fit, gx = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_bf16_close(setup):
+    ens, x = setup
+    fit_ref, gx_ref = xla_fit_and_grad(ens, x)
+    fit, gx = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.bfloat16, batch_tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_ref),
+                               rtol=3e-2, atol=3e-2)
+    # gradient direction must agree strongly
+    a = np.asarray(gx).ravel()
+    b = np.asarray(gx_ref).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.99
+
+
+def test_real_checkpoint_weights(setup):
+    """Kernel works on the converted reference checkpoints too."""
+    import os
+
+    from ppde_tpu.models import torch_convert
+    from tests.conftest import REFERENCE, reference_available
+
+    if not reference_available():
+        pytest.skip("no reference")
+    d = os.path.join(REFERENCE, "weights/PABP_YEAST_Fields2013")
+    ens = jax.tree.map(jnp.asarray, torch_convert.onehot_cnn_ensemble(
+        [os.path.join(d, f"onehot_cnn_seed={i}.pt") for i in range(3)]))
+    x = jnp.asarray(codec.ints_to_onehot(
+        np.random.default_rng(3).integers(0, V, (16, 96))))
+    fit_ref, gx_ref = xla_fit_and_grad(ens, x)
+    fit, gx = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_energy_fused_cnn_matches_vjp(setup):
+    """protein_poe(fused_cnn=True) == the XLA-VJP energy, end to end."""
+    from ppde_tpu import codec as codec_mod, energy as energy_mod
+    from ppde_tpu.models import potts
+
+    ens, x = setup
+    wt = np.asarray(x[0]).argmax(-1)
+    seq = "".join(codec_mod.ALPHABET[i] for i in wt)
+    pp = potts.synthetic(seq, seed=0)
+    wt_oh = x[:1]
+    base = energy_mod.protein_poe(pp, ens, lam=15.0, wt_onehot=wt_oh,
+                                  compute_dtype=jnp.float32)
+    fused = energy_mod.protein_poe(pp, ens, lam=15.0, wt_onehot=wt_oh,
+                                   compute_dtype=jnp.float32,
+                                   fused_cnn=True, interpret=True)
+    e0, f0, g0 = base.energy_and_grad(base.params, x)
+    e1, f1, g1 = fused.energy_and_grad(fused.params, x)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-3, atol=1e-4)
