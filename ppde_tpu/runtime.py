@@ -113,3 +113,32 @@ def dump_config(args, path):
         json.dump({k: (v if isinstance(v, (int, float, str, bool, type(None)))
                        else str(v)) for k, v in vars(args).items()},
                   f, indent=2)
+
+
+def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1):
+    """Shard a built energy + population over a (dp, ep, tp) device mesh.
+
+    The TPU-native scaling path (SURVEY.md §2.3): chains shard over dp
+    (embarrassingly parallel), the Potts coupling matmul shards over tp,
+    everything else replicates. Returns (mesh, sharded_energy,
+    sharded_pop); run the sampler inside ``with mesh:``. Works identically
+    on a real pod slice and on a virtual CPU mesh
+    (xla_force_host_platform_device_count).
+    """
+    from ppde_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(dp=dp, ep=1, tp=tp)
+    params = dict(energy.params)
+    if "potts" in params and tp > 1:
+        params["potts"] = pmesh.shard_potts(params["potts"], mesh)
+    else:
+        if "potts" in params:
+            params["potts"] = jax.tree.map(
+                lambda a: pmesh.replicated(a, mesh), params["potts"])
+    for k in params:
+        if k != "potts":
+            params[k] = jax.tree.map(lambda a: pmesh.replicated(a, mesh),
+                                     params[k])
+    energy = dataclasses.replace(energy, params=params)
+    pop = pmesh.shard_chains(jnp.asarray(pop), mesh)
+    return mesh, energy, pop

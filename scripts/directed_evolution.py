@@ -84,10 +84,20 @@ def main(args):
     print(f"WT protein energy: {float(e0.mean()):.3f}", flush=True)
 
     runner = get_sampler_runner(args)
-    res = runner(energy=energy, initial_population=pop,
-                 num_steps=args.n_iters,
-                 min_pos=pp.min_pos, max_pos=pp.max_pos,
-                 oracle=oracle, log_every=args.log_every)
+    if args.mesh_dp or args.mesh_tp > 1:
+        mesh, energy, pop = runtime.apply_mesh(
+            energy, pop, dp=args.mesh_dp or None, tp=args.mesh_tp)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
+        with mesh:
+            res = runner(energy=energy, initial_population=pop,
+                         num_steps=args.n_iters,
+                         min_pos=pp.min_pos, max_pos=pp.max_pos,
+                         oracle=oracle, log_every=args.log_every)
+    else:
+        res = runner(energy=energy, initial_population=pop,
+                     num_steps=args.n_iters,
+                     min_pos=pp.min_pos, max_pos=pp.max_pos,
+                     oracle=oracle, log_every=args.log_every)
 
     best = jnp.asarray(res.best_x)
     best_oracle = np.asarray(jax.jit(oracle[1])(oracle[0], best))
@@ -168,6 +178,11 @@ def build_parser():
                    help="persist sampler state each log segment and resume "
                         "from an existing checkpoint (capability absent "
                         "from the reference)")
+    g.add_argument("--mesh_dp", type=int, default=0,
+                   help="shard chains over a dp-axis device mesh of this "
+                        "size (0 = single device); chains must divide it")
+    g.add_argument("--mesh_tp", type=int, default=1,
+                   help="shard the Potts coupling matmul over a tp axis")
     g.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
                    help="supervised-CNN compute precision (bf16 ~2x faster; "
                         "the reference uses AMP for its transformers)")

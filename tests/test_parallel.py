@@ -96,3 +96,26 @@ def test_shard_placement():
     pp_sh = pmesh.shard_potts(pp, mesh)
     # W is sharded column-wise over tp (2 shards x 4 replicas)
     assert len(pp_sh.W.sharding.device_set) == 8
+
+
+def test_apply_mesh_full_run_matches_single_device():
+    """runtime.apply_mesh + a full sampler run == the unsharded run."""
+    from ppde_tpu import runtime
+
+    en, pp, ens, pop = build(n_chains=8)
+    key = jax.random.PRNGKey(7)
+    cfg = ppde.PPDEConfig(pas_length=2, nmut_threshold=5)
+
+    res0 = ppde.run(en, pop, num_steps=12, min_pos=0, max_pos=31,
+                    cfg=cfg, key=key, log_every=6, quiet=True)
+
+    mesh, en_sh, pop_sh = runtime.apply_mesh(en, pop, dp=4, tp=2)
+    with mesh:
+        res1 = ppde.run(en_sh, pop_sh, num_steps=12, min_pos=0, max_pos=31,
+                        cfg=cfg, key=key, log_every=6, quiet=True)
+
+    np.testing.assert_allclose(np.asarray(res1.best_energy),
+                               np.asarray(res0.best_energy),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(res1.best_x),
+                                  np.asarray(res0.best_x))
