@@ -73,3 +73,34 @@ def shard_potts(potts_params, mesh: Mesh):
 
 def replicated(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_esm(esm_params, mesh: Mesh):
+    """Megatron-style tensor parallelism for the ESM2 expert over tp:
+    attention q/k/v and ffn fc1 shard column-wise (heads / hidden units),
+    the o / fc2 projections row-wise (XLA inserts the psum), embeddings,
+    layer norms, and the LM head replicate. Reference parity target:
+    nets.py:172-240 runs the 650M expert on one GPU with AMP; here the
+    same expert scales over the mesh with no code change at the call site.
+    """
+    col = {"w": P(None, "tp"), "b": P("tp")}
+    row = {"w": P("tp", None), "b": P()}
+
+    def specs(layer):
+        return {
+            "attn_ln": {"g": P(), "b": P()},
+            "q": col, "k": col, "v": col, "o": row,
+            "ffn_ln": {"g": P(), "b": P()},
+            "fc1": col, "fc2": row,
+        }
+
+    def place(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    out = {k: jax.tree.map(lambda a: place(a, P()), v)
+           for k, v in esm_params.items() if k != "layers"}
+    out["layers"] = [
+        jax.tree.map(place, layer, specs(layer))
+        for layer in esm_params["layers"]
+    ]
+    return out

@@ -135,8 +135,10 @@ def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1):
         if "potts" in params:
             params["potts"] = jax.tree.map(
                 lambda a: pmesh.replicated(a, mesh), params["potts"])
+    if "tr" in params and tp > 1:
+        params["tr"] = pmesh.shard_esm(params["tr"], mesh)
     for k in params:
-        if k != "potts":
+        if k not in ("potts", "tr") or (k == "tr" and tp == 1):
             params[k] = jax.tree.map(lambda a: pmesh.replicated(a, mesh),
                                      params[k])
     energy = dataclasses.replace(energy, params=params)

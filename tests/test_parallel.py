@@ -119,3 +119,23 @@ def test_apply_mesh_full_run_matches_single_device():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(res1.best_x),
                                   np.asarray(res0.best_x))
+
+
+def test_tp_esm_matches_replicated():
+    """Tensor-parallel ESM2 pseudo-log-likelihood == replicated."""
+    from ppde_tpu.models import esm2
+
+    params = esm2.init(jax.random.PRNGKey(0), "transformer-S",
+                       dtype=jnp.float32)
+    x = jax.nn.one_hot(
+        np.random.default_rng(0).integers(0, 33, (4, 24)), 33,
+        dtype=jnp.float32)
+    ref = jax.jit(esm2.pseudo_log_likelihood)(params, x)
+
+    mesh = pmesh.make_mesh(dp=2, ep=1, tp=4)
+    p_sh = pmesh.shard_esm(params, mesh)
+    x_sh = pmesh.shard_chains(x, mesh)
+    with mesh:
+        out = jax.jit(esm2.pseudo_log_likelihood)(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
