@@ -108,3 +108,17 @@ def test_energy_fused_cnn_matches_vjp(setup):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_ragged_batch(setup):
+    """B not divisible by batch_tile exercises the pad/slice path."""
+    ens, x = setup
+    xr = x[:10]
+    fit_ref, gx_ref = xla_fit_and_grad(ens, xr)
+    fit, gx = cnn_pallas.ensemble_apply_and_grad(
+        ens, xr, compute_dtype=jnp.float32, batch_tile=8, interpret=True)
+    assert fit.shape == (10,) and gx.shape == xr.shape
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
