@@ -61,7 +61,8 @@ def _log(msg):
 
 
 def bench_jax(steps: int, warmup: int, dtype: str,
-              n_chains: int = N_CHAINS, fused_cnn: bool = False) -> float:
+              n_chains: int = N_CHAINS, fused_cnn: bool = False,
+              cnn_chunk: int | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -75,10 +76,14 @@ def bench_jax(steps: int, warmup: int, dtype: str,
     _log("potts built")
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(GFP_WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([GFP_WT]))
+    if cnn_chunk is None and n_chains > 256:
+        # one big XLA program scales superlinearly in the CNN VJP; chunked
+        # evaluation restores linear scaling (see energy._fit_and_grad)
+        cnn_chunk = 128
     en = energy_mod.protein_poe(
         pp, ens, lam=15.0, wt_onehot=wt_oh,
         compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
-        fused_cnn=fused_cnn)
+        fused_cnn=fused_cnn, cnn_chunk=cnn_chunk)
     pop = jnp.repeat(wt_oh, n_chains, axis=0)
     window_ok = utils.position_window_mask(len(GFP_WT), 20, 0, len(GFP_WT) - 1)
     cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
@@ -183,6 +188,9 @@ def main():
                          "cache it in tools/torch_baseline.json")
     ap.add_argument("--torch-steps", type=int, default=1)
     ap.add_argument("--chains", type=int, default=N_CHAINS)
+    ap.add_argument("--cnn-chunk", type=int, default=None,
+                    help="lax.map the CNN energy over chain chunks of this "
+                         "size (default: 128 when --chains > 256)")
     ap.add_argument("--fused-cnn", action="store_true",
                     help="use the fused Pallas CNN kernel for the "
                          "supervised expert (wins in isolation, ~6%% slower "
@@ -192,7 +200,8 @@ def main():
 
     _enable_compile_cache()
     jax_sps = bench_jax(args.steps, args.warmup, args.dtype,
-                        args.chains, fused_cnn=args.fused_cnn)
+                        args.chains, fused_cnn=args.fused_cnn,
+                        cnn_chunk=args.cnn_chunk)
     chain_sps = jax_sps * args.chains
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),

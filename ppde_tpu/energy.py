@@ -60,25 +60,40 @@ def _vjp_sum(f, x):
 # protein energies
 # ---------------------------------------------------------------------------
 
-def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False):
+def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False,
+                  cnn_chunk=None):
     """Supervised CNN (fitness, d mean-fitness/dx): fused Pallas kernel or
     the XLA VJP path. The fused kernel (ops/cnn_pallas.py) keeps all
     ensemble activations VMEM-resident: 0.29 ms vs 0.60 ms for the XLA VJP
-    at GFP 128-chain shapes."""
-    if fused_cnn:
-        return cnn_pallas.ensemble_apply_and_grad(
-            p["sup"], x, compute_dtype=compute_dtype or jnp.bfloat16,
-            interpret=interpret)
-    return _vjp_sum(
-        lambda v: cnn.ensemble_apply(p["sup"], v,
-                                     compute_dtype=compute_dtype), x)
+    at GFP 128-chain shapes.
+
+    cnn_chunk: lax.map the evaluation over chain chunks of this size.
+    Large batches scale superlinearly in one XLA program (GFP 1024 chains:
+    8.8 ms full vs 6.2 ms at chunk 128 for the VJP path; 7.2 vs 4.9 ms for
+    the fused kernel) — chunking restores linear scaling."""
+    def one(xc):
+        if fused_cnn:
+            return cnn_pallas.ensemble_apply_and_grad(
+                p["sup"], xc, compute_dtype=compute_dtype or jnp.bfloat16,
+                interpret=interpret)
+        return _vjp_sum(
+            lambda v: cnn.ensemble_apply(p["sup"], v,
+                                         compute_dtype=compute_dtype), xc)
+
+    n = x.shape[0]
+    if not cnn_chunk or n <= cnn_chunk or n % cnn_chunk:
+        return one(x)
+    xs = x.reshape(n // cnn_chunk, cnn_chunk, *x.shape[1:])
+    fits, gs = jax.lax.map(one, xs)
+    return fits.reshape(n), gs.reshape(x.shape)
 
 
 def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                 lam: float, wt_onehot, transformer=None,
                 chunk_size: int | None = None,
                 compute_dtype=None, fused_cnn: bool = False,
-                interpret: bool = False) -> Energy:
+                interpret: bool = False,
+                cnn_chunk: int | None = None) -> Energy:
     """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
 
     ``transformer``: optional (params, apply_fn) pair adding an ESM2
@@ -126,7 +141,7 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
 
     def energy_and_grad(p, x):
         fit, fit_grad = _fit_and_grad(p, x, compute_dtype, fused_cnn,
-                                      interpret)
+                                      interpret, cnn_chunk)
         e = lam * fit
         grad = lam * fit_grad
         if "potts" in p:
@@ -146,7 +161,8 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
 
 def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None,
                        fused_cnn: bool = False,
-                       interpret: bool = False) -> Energy:
+                       interpret: bool = False,
+                       cnn_chunk: int | None = None) -> Energy:
     """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
     params = {"sup": sup_ensemble}
 
@@ -158,7 +174,8 @@ def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None,
         return fit, fit
 
     def energy_and_grad(p, x):
-        fit, g = _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret)
+        fit, g = _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret,
+                               cnn_chunk)
         return fit, fit, g
 
     return Energy(params=params, energy=energy,

@@ -105,3 +105,31 @@ def test_mnist_dae_energy(rng):
     assert e.shape == fit.shape == (2,)
     logp = mnist_nets.dae_log_prob(dae, x2)
     np.testing.assert_allclose(np.asarray(e), np.asarray(logp + fit), rtol=1e-4)
+
+
+def test_cnn_chunked_energy_matches_full():
+    """cnn_chunk lax.map evaluation == one-program evaluation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppde_tpu import codec, energy as energy_mod
+    from ppde_tpu.models import cnn, potts
+
+    wt = "ACDEFGHIKLMNPQRSTVWYACDEFGHIKLMN"
+    pp = potts.synthetic(wt, seed=0)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(wt))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([wt]))
+    x = jnp.asarray(codec.ints_to_onehot(
+        np.random.default_rng(0).integers(0, 20, (16, len(wt)))))
+    full = energy_mod.protein_poe(pp, ens, lam=2.0, wt_onehot=wt_oh)
+    chunked = energy_mod.protein_poe(pp, ens, lam=2.0, wt_onehot=wt_oh,
+                                     cnn_chunk=4)
+    e0, f0, g0 = full.energy_and_grad(full.params, x)
+    e1, f1, g1 = chunked.energy_and_grad(chunked.params, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-6)
