@@ -82,9 +82,15 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
 
     cdt0 = getattr(args, "compute_dtype", "f32")
     cdt_j = jnp.bfloat16 if cdt0 == "bf16" else None
+    fused = getattr(args, "fused_cnn", False)
+    cnn_chunk = getattr(args, "cnn_chunk", 0) or None
+    if cnn_chunk is None and args.n_chains > 256:
+        cnn_chunk = 128  # large populations: chunked eval scales linearly
     if args.energy_function == "supervised":
         en = energy_mod.protein_supervised(sup, wt_onehot,
-                                           compute_dtype=cdt_j)
+                                           compute_dtype=cdt_j,
+                                           fused_cnn=fused,
+                                           cnn_chunk=cnn_chunk)
     else:
         use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
         chunk = None
@@ -95,7 +101,7 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
             transformer=transformer, chunk_size=chunk,
-            compute_dtype=cdt_j)
+            compute_dtype=cdt_j, fused_cnn=fused, cnn_chunk=cnn_chunk)
 
     orc = oracle_mod.load(protein_dir, potts_params=pp)
     oracle = (orc, oracle_mod.apply)

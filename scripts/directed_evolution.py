@@ -178,6 +178,12 @@ def build_parser():
                    help="persist sampler state each log segment and resume "
                         "from an existing checkpoint (capability absent "
                         "from the reference)")
+    g.add_argument("--fused_cnn", action="store_true",
+                   help="fused Pallas CNN energy kernel (TPU only; wins at "
+                        "large populations, see PERF.md)")
+    g.add_argument("--cnn_chunk", type=int, default=0,
+                   help="chunk the CNN energy over this many chains "
+                        "(0 = auto: 128 when n_chains > 256)")
     g.add_argument("--mesh_dp", type=int, default=0,
                    help="shard chains over a dp-axis device mesh of this "
                         "size (0 = single device); chains must divide it")
