@@ -121,19 +121,27 @@ def dump_config(args, path):
                   f, indent=2)
 
 
-def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1):
+def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1,
+               ep: int = 1):
     """Shard a built energy + population over a (dp, ep, tp) device mesh.
 
     The TPU-native scaling path (SURVEY.md §2.3): chains shard over dp
     (embarrassingly parallel), the Potts coupling matmul shards over tp,
-    everything else replicates. Returns (mesh, sharded_energy,
-    sharded_pop); run the sampler inside ``with mesh:``. Works identically
-    on a real pod slice and on a virtual CPU mesh
+    stacked supervised-ensemble members over ep (GSPMD inserts the psum for
+    the ensemble mean), everything else replicates. Returns (mesh,
+    sharded_energy, sharded_pop); run the sampler inside ``with mesh:``.
+    Works identically on a real pod slice and on a virtual CPU mesh
     (xla_force_host_platform_device_count).
+
+    Note on ep with the reference's 3-member ensembles: member counts must
+    divide ep for the shard to land (shard_ensemble replicates otherwise),
+    so ep>1 pays off only for ensembles sized to the mesh (e.g. 4 members
+    on ep=2). For the canonical 3-member runs dp*tp uses every chip with
+    zero constraint — that's why it's the default.
     """
     from ppde_tpu.parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(dp=dp, ep=1, tp=tp)
+    mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp)
     params = dict(energy.params)
     if "potts" in params and tp > 1:
         params["potts"] = pmesh.shard_potts(params["potts"], mesh)
@@ -143,8 +151,11 @@ def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1):
                 lambda a: pmesh.replicated(a, mesh), params["potts"])
     if "tr" in params and tp > 1:
         params["tr"] = pmesh.shard_esm(params["tr"], mesh)
+    if "sup" in params and ep > 1:
+        params["sup"] = pmesh.shard_ensemble(params["sup"], mesh)
     for k in params:
-        if k not in ("potts", "tr") or (k == "tr" and tp == 1):
+        if (k not in ("potts", "tr", "sup") or (k == "tr" and tp == 1)
+                or (k == "sup" and ep == 1)):
             params[k] = jax.tree.map(lambda a: pmesh.replicated(a, mesh),
                                      params[k])
     energy = dataclasses.replace(energy, params=params)

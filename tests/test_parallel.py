@@ -121,6 +121,34 @@ def test_apply_mesh_full_run_matches_single_device():
                                   np.asarray(res0.best_x))
 
 
+def test_apply_mesh_dp_ep_tp_full_run_matches_single_device():
+    """All three axes in ONE program: chains over dp, the 4-member ensemble
+    over ep (GSPMD's psum for the mean), Potts couplings over tp."""
+    from ppde_tpu import runtime
+
+    en, pp, ens, pop = build(n_chains=8)
+    key = jax.random.PRNGKey(11)
+    cfg = ppde.PPDEConfig(pas_length=2, nmut_threshold=5)
+
+    res0 = ppde.run(en, pop, num_steps=10, min_pos=0, max_pos=31,
+                    cfg=cfg, key=key, log_every=5, quiet=True)
+
+    mesh, en_sh, pop_sh = runtime.apply_mesh(en, pop, dp=2, tp=2, ep=2)
+    assert dict(mesh.shape) == {"dp": 2, "ep": 2, "tp": 2}
+    # the 4-member ensemble must actually land sharded on the ep axis
+    enc_w = en_sh.params["sup"]["encoder"]["w"]
+    assert "ep" in str(enc_w.sharding.spec)
+    with mesh:
+        res1 = ppde.run(en_sh, pop_sh, num_steps=10, min_pos=0, max_pos=31,
+                        cfg=cfg, key=key, log_every=5, quiet=True)
+
+    np.testing.assert_allclose(np.asarray(res1.best_energy),
+                               np.asarray(res0.best_energy),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(res1.best_x),
+                                  np.asarray(res0.best_x))
+
+
 def test_tp_esm_matches_replicated():
     """Tensor-parallel ESM2 pseudo-log-likelihood == replicated."""
     from ppde_tpu.models import esm2
