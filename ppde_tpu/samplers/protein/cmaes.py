@@ -29,6 +29,10 @@ from ppde_tpu.samplers.cma_core import CMAES
 class CMAESConfig:
     population_size: int = 16
     initial_variance: float = 0.05
+    # None = auto: sep-CMA (diagonal covariance, no eigendecomposition) above
+    # cma_core.AUTO_DIAG_DIM — required for GFP-sized windows (d = 4760,
+    # where a full eigh costs minutes per refresh on one CPU core)
+    diag: bool | None = None
 
 
 def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
@@ -60,7 +64,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
 
     es = CMAES(x0[0, min_pos:max_pos + 1].reshape(-1),
                np.sqrt(cfg.initial_variance),
-               popsize=cfg.population_size, seed=seed)
+               popsize=cfg.population_size, seed=seed, diag=cfg.diag)
 
     seq_arch: list[np.ndarray] = []   # [L,V] candidates
     e_arch: list[float] = []

@@ -55,7 +55,8 @@ def get_sampler_runner(args):
     if args.sampler == "CMAES":
         cfg = cmaes.CMAESConfig(
             population_size=args.cmaes_population_size,
-            initial_variance=args.cmaes_initial_variance)
+            initial_variance=args.cmaes_initial_variance,
+            diag={"auto": None, "full": False, "sep": True}[args.cmaes_cov])
         return lambda **kw: cmaes.run(cfg=cfg, seed=args.seed, **kw)
     raise ValueError(f"unknown sampler {args.sampler}")
 
@@ -210,6 +211,11 @@ def build_parser():
     c = p.add_argument_group("cmaes")
     c.add_argument("--cmaes_population_size", type=int, default=16)
     c.add_argument("--cmaes_initial_variance", type=float, default=0.05)
+    c.add_argument("--cmaes_cov", choices=["auto", "full", "sep"],
+                   default="auto",
+                   help="covariance model: full CMA-ES, sep-CMA (diagonal, "
+                        "O(d)/gen — needed at GFP's d=4760), or auto by "
+                        "dimension")
 
     pp = p.add_argument_group("ppde")
     pp.add_argument("--ppde_pas_length", type=int, default=2)

@@ -107,6 +107,44 @@ def test_cma_core_shifted_quadratic():
     np.testing.assert_allclose(es.mean, target, atol=0.05)
 
 
+def test_cma_core_sep_sphere():
+    """sep-CMA (diag=True) converges on the sphere like full CMA."""
+    es = cma_core.CMAES(np.full(8, 3.0), sigma=1.0, popsize=16, seed=1,
+                        diag=True)
+    assert es.diag
+    for _ in range(200):
+        X, f = es.ask_and_eval(lambda X: (X ** 2).sum(-1))
+        es.tell(X, f)
+    assert (es.mean ** 2).sum() < 1e-3
+
+
+def test_cma_core_sep_ellipsoid():
+    """sep-CMA adapts per-axis scales: converge on a poorly conditioned
+    AXIS-ALIGNED quadratic (the case the diagonal model captures exactly)."""
+    scales = np.array([1.0, 4.0, 16.0, 64.0, 0.25, 1.0])
+    target = np.arange(6) * 0.5
+    es = cma_core.CMAES(np.zeros(6), sigma=0.5, popsize=12, seed=2, diag=True)
+    for _ in range(400):
+        X, f = es.ask_and_eval(
+            lambda X: (scales * (X - target) ** 2).sum(-1))
+        es.tell(X, f)
+    np.testing.assert_allclose(es.mean, target, atol=0.05)
+
+
+def test_cma_core_auto_diag_threshold():
+    """diag=None auto-selects sep-CMA only above AUTO_DIAG_DIM."""
+    small = cma_core.CMAES(np.zeros(16), sigma=1.0, popsize=8, seed=0)
+    big = cma_core.CMAES(np.zeros(cma_core.AUTO_DIAG_DIM + 1), sigma=1.0,
+                         popsize=8, seed=0)
+    assert not small.diag and big.diag
+    # big instance never allocates a d x d matrix
+    assert big.C.ndim == 1
+    X = big.ask()
+    assert X.shape == (8, cma_core.AUTO_DIAG_DIM + 1)
+    big.tell(X, np.arange(8.0))
+    assert big.C.ndim == 1 and np.all(big.C > 0)
+
+
 def test_cmaes_sampler(setup):
     en, oracle, pop = setup
     res = cmaes.run(en, pop, 30, 2, 17, oracle=oracle,
