@@ -177,7 +177,8 @@ def _round_up(n: int, k: int) -> int:
 def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
                             compute_dtype=jnp.bfloat16,
                             batch_tile: int = 8,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            sublane: int = 32):
     """(fitness [B], d mean-fitness / dx [B, L, V]) — fused Pallas path.
 
     stacked_params: the cnn.init_ensemble / torch_convert layout
@@ -197,9 +198,10 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
 
     B, L, V = x.shape
     T = L - K + 1
-    # sublane-align the patch axis (32 covers f32/bf16/i8 tiles) so the
-    # in-kernel [bt, Tp, KV] <-> [bt*Tp, KV] reshapes are exact tile merges
-    Tp = _round_up(T, 32)
+    # sublane-align the patch axis so the in-kernel [bt, Tp, KV] <->
+    # [bt*Tp, KV] reshapes are exact tile merges (32 covers f32/bf16/i8;
+    # 16 suffices for the bf16 compute path and trims pad FLOPs)
+    Tp = _round_up(T, sublane)
     P = im2col(x).astype(dt)
     Bp = _round_up(B, min(batch_tile, B))
     P = jnp.pad(P, ((0, Bp - B), (0, Tp - T), (0, 0)))

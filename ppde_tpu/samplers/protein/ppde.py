@@ -14,16 +14,33 @@ TPU-first differences:
   * the variable path length U becomes a static max_u = 2*pas_len - 1 inner
     scan with per-chain masking (the reference already masks, :67-70 — here
     max_u is static so nothing ever recompiles);
-  * proposals are sampled as flat indices and applied with masked
-    substitution — no [N, L*V] one-hot materialization;
-  * the reverse log-ratio is one vectorized gather over the stored inner
-    trajectory instead of a Python loop over categoricals (:129-132);
   * per-chain best tracking is a running carry, not a host-side history;
   * ONE fused energy+grad per step instead of the reference's two
     (:79,:119): the current state's (e, fit, grad) is carried — it equals
     the accepted endpoint's values, the previous carry on rejection, or the
     precomputed wild-type constants after an nmut reset. Energies are
     deterministic, so this is EXACT, not an approximation.
+
+FACTORED PROPOSALS (the HBM win). Because states are one-hot, the Taylor
+proposal logits have rank-1 structure over the path:
+    score_t[l, v] = (grad[l, v] - grad[l, tok_t[l]]) / temp,
+where tok_t is the token sequence at inner step t. The joint softmax over
+[L, V] therefore factorizes into a position marginal with log-weights
+    lw_t[l] = logsumexp_v(masked grad[l, :] / temp) - grad[l, tok_t[l]] / temp
+and a value conditional softmax(grad[l, :] / temp) that is CONSTANT along
+the path. The reference (and our previous implementation) materializes the
+full [N, L*V] logits + Gumbel noise per inner step and a
+[max_u, N, L*V] reverse-logits tensor (protein ppde.py:79-132); here each
+inner step touches only [N, L]/[N, V] tensors plus O(N) gathers, and the
+reverse path reduces to logZ updates with ONE changed position per step:
+the gathered reverse logit is identically 0 (proposing idx_t from x_{t+1}
+re-sets the position to the value it already has), so
+    rev_logp_t = -logsumexp_l( lsY[l] - grad_y[l, tok_{t+1}[l]] / 2 ),
+with lsY[l] = logsumexp_v(grad_y[l, :] / 2) computed once. Per outer step
+the [N, L, V] tensors are touched a constant number of times (energy+grad,
+two per-position logsumexps, one one-hot scatter) instead of
+O(max_u) times. Distribution-exact: tests/test_ppde_protein.py checks the
+factored log-probs/logZ against the dense masked-softmax spec.
 """
 from __future__ import annotations
 
@@ -55,45 +72,105 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
     max_u = max(2 * cfg.pas_length - 1, 1)
     nmut = cfg.nmut_threshold if cfg.nmut_threshold > 0 else np.iinfo(np.int32).max
 
-    def masked_forward_logits(x, grad_x, wt):
-        score = grad_x - jnp.sum(grad_x * x, axis=-1, keepdims=True)
-        logits = score.reshape(n, L * V) / cfg.temp
-        return utils.apply_proposal_masks(logits, x, wt, window_ok, nmut)
-
     def step(ctx, state, key):
         cur_x, (e_cur, fit_cur, grad_x), best = state
         wt = ctx["wt"]
+        # TPU note: NO scatters and NO per-row gathers anywhere below —
+        # every indexed read/write is a one-hot compare + select/reduce
+        # (XLA lowers scatter/gather on TPU to serialized loops; a first
+        # cut using .at[].set / take_along_axis ran 2x SLOWER than the
+        # dense [N, L*V] formulation it replaced)
+        wt_tok = jnp.argmax(wt, axis=-1).astype(jnp.int32)          # [L]
+        wt_in_win = jnp.sum(window_ok * wt, axis=-1) > 0            # [L]
         k_u, k_inner, k_acc = jax.random.split(key, 3)
 
         # per-chain path length, static scan bound (reference :67-70)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
-        u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
+        u_mask = (jnp.arange(max_u)[:, None] < U[None, :])          # [max_u,N]
+
+        # ---- forward path over token sequences (factored proposals) ----
+        gx = grad_x.astype(jnp.float32) / cfg.temp                  # [N,L,V]
+        v_logits = jnp.where(window_ok[None], gx, utils.NEG_INF)
+        lA = jax.nn.logsumexp(v_logits, axis=-1)                    # [N,L]
+        g_wt = jnp.sum(gx * wt[None], axis=-1)                      # [N,L]
+        tok0 = jnp.argmax(cur_x, axis=-1).astype(jnp.int32)         # [N,L]
+        g_tok0 = jnp.sum(gx * cur_x, axis=-1)                       # [N,L]
+        dist0 = jnp.sum((tok0 != wt_tok[None]).astype(jnp.int32), axis=-1)
+        iota_l = jnp.arange(L, dtype=jnp.int32)
+        iota_v = jnp.arange(V, dtype=jnp.int32)
 
         def inner(carry, key_and_t):
-            x, t = carry
+            tok, g_tok, dist = carry
             k, t_idx = key_and_t
-            logits = masked_forward_logits(x, grad_x, wt)
-            idx, fwd_logp = utils.categorical_onehot(k, logits)
-            x_new = utils.substitute(x, idx)
-            live = (t_idx < U).reshape(n, 1, 1).astype(x.dtype)
-            x_next = live * x_new + (1 - live) * x
-            return (x_next, t + 1), (idx, fwd_logp, x_next)
+            k1, k2 = jax.random.split(k)
+            live = t_idx < U                                        # [N]
+            over = dist >= nmut
+            # position log-weights; over-budget chains may only revert
+            # in-window mutated positions to WT (reference :86-104 masks)
+            mut = tok != wt_tok[None]
+            lw = jnp.where(
+                over[:, None],
+                jnp.where(mut & wt_in_win[None], g_wt - g_tok,
+                          utils.NEG_INF),
+                lA - g_tok)                                         # [N,L]
+            l_idx = jax.random.categorical(k1, lw)                  # [N]
+            pos_oh = iota_l[None] == l_idx[:, None]                 # [N,L]
+            vl = jnp.sum(jnp.where(pos_oh[:, :, None], v_logits, 0.0),
+                         axis=1)                                    # [N,V]
+            v_free = jax.random.categorical(k2, vl).astype(jnp.int32)
+            wt_at_l = jnp.sum(jnp.where(pos_oh, wt_tok[None], 0), axis=-1)
+            v_idx = jnp.where(over, wt_at_l, v_free)
+            v_oh = iota_v[None] == v_idx[:, None]                   # [N,V]
+            lp_pos = (jnp.sum(jnp.where(pos_oh, lw, 0.0), axis=-1)
+                      - jax.nn.logsumexp(lw, axis=-1))
+            lp_val = jnp.where(
+                over, 0.0,
+                jnp.sum(jnp.where(v_oh, vl, 0.0), axis=-1)
+                - jax.nn.logsumexp(vl, axis=-1))
+            fwd_logp = lp_pos + lp_val
+
+            # v_logits == gx at every reachable (l, v): sampled v is always
+            # in-window, and over-budget reverts are window-checked above
+            g_new = jnp.sum(jnp.where(v_oh, vl, 0.0), axis=-1)      # [N]
+            old_v = jnp.sum(jnp.where(pos_oh, tok, 0), axis=-1)
+            upd = pos_oh & live[:, None]
+            tok = jnp.where(upd, v_idx[:, None], tok)
+            g_tok = jnp.where(upd, g_new[:, None], g_tok)
+            dist = dist + jnp.where(
+                live,
+                (v_idx != wt_at_l).astype(jnp.int32)
+                - (old_v != wt_at_l).astype(jnp.int32), 0)
+            return (tok, g_tok, dist), (pos_oh, v_oh, fwd_logp)
 
         inner_keys = jax.random.split(k_inner, max_u)
-        (y, _), (idxs, fwd_logps, traj) = jax.lax.scan(
-            inner, (cur_x, 0), (inner_keys, jnp.arange(max_u)))
-        # traj[t] is the state AFTER inner step t (x_1..x_max_u), matching
-        # the reference's traj_list[1:] + [y] (:124-125)
+        (tok_y, _, dist_y), (pos_ohs, v_ohs, fwd_logps) = jax.lax.scan(
+            inner, (tok0, g_tok0, dist0),
+            (inner_keys, jnp.arange(max_u)))
 
+        y = jax.nn.one_hot(tok_y, V, dtype=cur_x.dtype)
         e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y)
 
-        # reverse path: unmasked Taylor logits at grad_y for every stored
-        # intermediate state, gathered at the sampled indices (:126-132)
-        rev_score = grad_y[None] - jnp.sum(grad_y[None] * traj, axis=-1,
-                                           keepdims=True)
-        rev_logits = rev_score.reshape(max_u, n, L * V) / 2.0
-        rev_logps = jax.vmap(utils.categorical_log_prob)(rev_logits, idxs)
-        log_ratio = jnp.sum(u_mask.T * (rev_logps - fwd_logps), axis=0)
+        # ---- reverse path (:126-132): the gathered reverse logit at idx_t
+        # from state x_{t+1} is identically 0 (see module docstring), so
+        # rev_logp_t = -logZ(x_{t+1}); logZ updates one position per step
+        gy = grad_y.astype(jnp.float32) / 2.0
+        lsY = jax.nn.logsumexp(gy, axis=-1)                         # [N,L]
+        gy_tok0 = jnp.sum(gy * cur_x, axis=-1)                      # [N,L]
+        # gy at each step's (l_t, v_t): contract the position one-hots with
+        # gy (batched matvec — no [max_u, N, L, V] broadcast materializes),
+        # then select the value column
+        rows_uv = jnp.einsum("unl,nlv->unv", pos_ohs.astype(gy.dtype), gy)
+        gy_steps = jnp.sum(rows_uv * v_ohs, axis=-1)                # [max_u,N]
+
+        def rev_body(gy_tok, inp):
+            pos_oh, gy_new, live = inp
+            gy_tok = jnp.where(pos_oh & live[:, None], gy_new[:, None],
+                               gy_tok)
+            return gy_tok, -jax.nn.logsumexp(lsY - gy_tok, axis=-1)
+
+        _, rev_logps = jax.lax.scan(rev_body, gy_tok0,
+                                    (pos_ohs, gy_steps, u_mask))
+        log_ratio = jnp.sum(u_mask * (rev_logps - fwd_logps), axis=0)
 
         log_acc = (e_prop - e_cur) + log_ratio
         accepted = (jnp.exp(log_acc) >= jax.random.uniform(k_acc, (n,)))
@@ -121,8 +198,9 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         if not cfg.paper_results:
             # hard constraint: chains that hit the budget restart from WT
             # (recorded energy/x stay pre-reset; reference :148-153); the
-            # carried energy/fit/grad switch to the precomputed WT values
-            over = (utils.mut_distance(new_x, wt) >= nmut)
+            # carried energy/fit/grad switch to the precomputed WT values.
+            # distances are carried token counts — no [N,L,V] pass needed
+            over = (jnp.where(accepted, dist_y, dist0) >= nmut)
             over3 = over.reshape(n, 1, 1)
             new_x = jnp.where(over3, wt[None], new_x)
             new_e = jnp.where(over, ctx["wt_e"], new_e)

@@ -111,3 +111,80 @@ def test_segment_lengths():
     assert base.segment_lengths(100, 30) == [30, 30, 30, 10]
     assert base.segment_lengths(60, 30) == [30, 30]
     assert base.segment_lengths(5, 50) == [5]
+
+
+def test_factored_proposals_match_dense_spec():
+    """The factored (position, value) proposal used by make_step must equal
+    the dense masked-softmax over [L*V] Taylor logits (the reference's
+    formulation, protein ppde.py:86-111) — same logZ and same per-index
+    log-probs, in both the normal and the over-budget (revert-only) regime.
+    """
+    n, L, V, temp, nmut = 6, 9, 20, 2.0, 3
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    grad = jax.random.normal(k1, (n, L, V)) * 3.0
+    wt_tok = jax.random.randint(k2, (L,), 0, V)
+    wt = jax.nn.one_hot(wt_tok, V)
+    window_ok = utils.position_window_mask(L, V, 1, L - 2)
+    # chains 0..2 under budget (1 mutation), chains 3..5 at/over (3-4)
+    tok = jnp.tile(wt_tok[None], (n, 1))
+    muts = [(0, 1), (1, 2), (2, 3), (3, 1), (3, 2), (3, 3),
+            (4, 1), (4, 2), (4, 4), (5, 1), (5, 2), (5, 5), (5, 6)]
+    for c, p in muts:
+        tok = tok.at[c, p].set((wt_tok[p] + 1 + c) % V)
+    x = jax.nn.one_hot(tok, V)
+
+    # dense spec (reference formulation)
+    score = grad - jnp.sum(grad * x, axis=-1, keepdims=True)
+    dense = utils.apply_proposal_masks(score.reshape(n, L * V) / temp,
+                                       x, wt, window_ok, nmut)
+    dense_logZ = jax.nn.logsumexp(dense, axis=-1)
+
+    # factored quantities, exactly as make_step builds them
+    gx = grad / temp
+    v_logits = jnp.where(window_ok[None], gx, utils.NEG_INF)
+    lA = jax.nn.logsumexp(v_logits, axis=-1)
+    g_wt = jnp.take_along_axis(
+        gx, jnp.broadcast_to(wt_tok[None, :, None], (n, L, 1)), 2)[..., 0]
+    g_tok = jnp.take_along_axis(gx, tok[..., None], 2)[..., 0]
+    wt_in_win = jnp.take_along_axis(window_ok, wt_tok[:, None], 1)[:, 0]
+    dist = jnp.sum((tok != wt_tok[None]).astype(jnp.int32), -1)
+    over = dist >= nmut
+    mut = tok != wt_tok[None]
+    lw = jnp.where(over[:, None],
+                   jnp.where(mut & wt_in_win[None], g_wt - g_tok,
+                             utils.NEG_INF),
+                   lA - g_tok)
+
+    # same normalizer
+    np.testing.assert_allclose(np.asarray(jax.nn.logsumexp(lw, -1)),
+                               np.asarray(dense_logZ), rtol=1e-5)
+    # same log-prob at every allowed index
+    dense_lp = jax.nn.log_softmax(dense, axis=-1).reshape(n, L, V)
+    lp_pos = jax.nn.log_softmax(lw, axis=-1)
+    lp_val = jax.nn.log_softmax(v_logits, axis=-1)
+    for c in range(n):
+        for p in range(L):
+            for v in range(V):
+                d = float(dense_lp[c, p, v])
+                if d < -1e20:
+                    continue  # masked
+                if over[c]:
+                    f = float(lp_pos[c, p])  # deterministic value branch
+                else:
+                    f = float(lp_pos[c, p]) + float(lp_val[c, p, v])
+                assert abs(d - f) < 1e-4, (c, p, v, d, f)
+
+    # reverse: -logZ identity against dense unmasked reverse logits
+    grad_y = jax.random.normal(k3, (n, L, V)) * 2.0
+    rev_score = grad_y - jnp.sum(grad_y * x, axis=-1, keepdims=True)
+    rev_dense = rev_score.reshape(n, L * V) / 2.0
+    idx_moved = tok[:, 4] + 4 * V  # index of position 4 at its CURRENT token
+    picked = jax.vmap(utils.categorical_log_prob)(rev_dense[:, None],
+                                                  idx_moved[:, None])[:, 0]
+    gy = grad_y / 2.0
+    lsY = jax.nn.logsumexp(gy, axis=-1)
+    gy_tok = jnp.take_along_axis(gy, tok[..., None], 2)[..., 0]
+    fact = -jax.nn.logsumexp(lsY - gy_tok, axis=-1)
+    np.testing.assert_allclose(np.asarray(picked), np.asarray(fact),
+                               rtol=1e-5)
