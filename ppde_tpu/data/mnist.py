@@ -10,6 +10,12 @@ This environment has no network access, so raw MNIST must already exist on
 disk. ``load_raw_mnist`` accepts:
   * a torchvision-style processed directory,
   * .npy/.npz dumps ({split}_images.npy / {split}_labels.npy),
+  * `augmented[:dir]` — real committed MNIST digits (the reference's seed
+    images under data/mnist, reference data/mnist/*.npy) expanded by
+    label-preserving affine augmentation. The ONLY real MNIST pixels
+    available offline; digit identities are unknown, so this source is for
+    UNSUPERVISED (EBM/DAE) training — the two validation_*.npy images are
+    held out as real calibration data.
   * `synthetic` — a deterministic fake for pipeline tests.
 """
 from __future__ import annotations
@@ -43,12 +49,90 @@ def _load_idx(path: str) -> np.ndarray:
         return np.frombuffer(f.read(), np.uint8).reshape(dims)
 
 
+SEED_IMAGE_STEMS = ("3_0", "3_1", "29_0", "29_1", "38_0", "38_1",
+                    "99_0", "99_1", "149_0", "149_1")
+HELDOUT_IMAGE_STEMS = ("validation_0", "validation_1")
+
+
+def _affine_sample(img: np.ndarray, angle: float, scale: float,
+                   shear: float, dx: float, dy: float) -> np.ndarray:
+    """Bilinear resample of a 28x28 image under an inverse affine map
+    (rotation + isotropic scale + shear + translation about the center).
+    Pure numpy; out-of-bounds pixels are 0 (MNIST background)."""
+    h, w = img.shape
+    c = (h - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    # inverse map: rotate by -angle, scale by 1/scale, unshear, untranslate
+    yc, xc = ys - c - dy, xs - c - dx
+    ca, sa = np.cos(-angle), np.sin(-angle)
+    xr = (ca * xc - sa * yc) / scale
+    yr = (sa * xc + ca * yc) / scale
+    xr = xr - shear * yr
+    ysrc, xsrc = yr + c, xr + c
+    y0 = np.floor(ysrc).astype(np.int64)
+    x0 = np.floor(xsrc).astype(np.int64)
+    fy, fx = ysrc - y0, xsrc - x0
+
+    def at(yy, xx):
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        return np.where(ok, img[yy.clip(0, h - 1), xx.clip(0, w - 1)], 0.0)
+
+    out = ((1 - fy) * (1 - fx) * at(y0, x0)
+           + (1 - fy) * fx * at(y0, x0 + 1)
+           + fy * (1 - fx) * at(y0 + 1, x0)
+           + fy * fx * at(y0 + 1, x0 + 1))
+    return out.astype(np.float32)
+
+
+def load_real_seed_images(data_dir: str, heldout: bool = False) -> np.ndarray:
+    """The committed real MNIST digits as [N, 28, 28] float32 in [0, 1]."""
+    stems = HELDOUT_IMAGE_STEMS if heldout else SEED_IMAGE_STEMS
+    return np.stack([np.load(os.path.join(data_dir, s + ".npy"))[0]
+                     for s in stems], 0).astype(np.float32)
+
+
+def augmented_real_mnist(data_dir: str, n: int, seed: int = 0,
+                         heldout: bool = False,
+                         return_sources: bool = False):
+    """[n, 784] affine augmentations of the committed real digits.
+
+    Rotation +-15deg, isotropic scale 0.88-1.12, shear +-0.15, shift +-3 px,
+    multiplicative intensity jitter — all digit-identity-preserving, so the
+    stroke statistics (width, curvature, continuity) stay real-MNIST.
+    """
+    base = load_real_seed_images(data_dir, heldout=heldout)
+    rng = np.random.default_rng(seed)
+    which = rng.integers(0, len(base), n)
+    out = np.empty((n, 28 * 28), np.float32)
+    for i, b in enumerate(which):
+        img = _affine_sample(
+            base[b],
+            angle=rng.uniform(-0.26, 0.26),
+            scale=rng.uniform(0.88, 1.12),
+            shear=rng.uniform(-0.15, 0.15),
+            dx=rng.uniform(-3, 3), dy=rng.uniform(-3, 3))
+        img = np.clip(img * rng.uniform(0.9, 1.1), 0.0, 1.0)
+        out[i] = img.reshape(-1)
+    return (out, which) if return_sources else out
+
+
 def load_raw_mnist(source: str, split: str = "train"):
     """Return (images [N, 784] float in [0,1], labels [N]).
 
     source: directory containing either idx files (train-images-idx3-ubyte
     [.gz] etc.), npy dumps, or the literal string 'synthetic'.
     """
+    if source.startswith("augmented"):
+        data_dir = source.split(":", 1)[1] if ":" in source else "data/mnist"
+        n = 8192 if split == "train" else 1024
+        imgs, which = augmented_real_mnist(data_dir, n,
+                                           seed=0 if split == "train" else 1,
+                                           return_sources=True)
+        # digit identities of the seed images are unknown: labels are the
+        # seed-image INDEX (augmentation provenance), usable only by
+        # unsupervised consumers — MNISTSumPairs refuses this source.
+        return imgs, which.astype(np.int64)
     if source == "synthetic":
         rng = np.random.default_rng(0 if split == "train" else 1)
         n = 4096 if split == "train" else 1024
@@ -91,6 +175,11 @@ class MNISTSumPairs:
 
     def __init__(self, source: str, pair_file: str | None, split: str,
                  seed: int = 0, train_noise: bool | None = None):
+        if source.startswith("augmented"):
+            raise ValueError(
+                "the 'augmented' source has no digit labels (seed-image "
+                "identities are unknown) — it serves unsupervised EBM/DAE "
+                "training only, not sum-pair supervision")
         self.images, self.labels = load_raw_mnist(source, split)
         self.split = split
         self.train_noise = (split == "train") if train_noise is None \

@@ -178,7 +178,7 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
                             compute_dtype=jnp.bfloat16,
                             batch_tile: int = 8,
                             interpret: bool = False,
-                            sublane: int = 32):
+                            sublane: int = 16):
     """(fitness [B], d mean-fitness / dx [B, L, V]) — fused Pallas path.
 
     stacked_params: the cnn.init_ensemble / torch_convert layout
@@ -199,8 +199,9 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
     B, L, V = x.shape
     T = L - K + 1
     # sublane-align the patch axis so the in-kernel [bt, Tp, KV] <->
-    # [bt*Tp, KV] reshapes are exact tile merges (32 covers f32/bf16/i8;
-    # 16 suffices for the bf16 compute path and trims pad FLOPs)
+    # [bt*Tp, KV] reshapes are exact tile merges. 16 covers bf16 (16,128)
+    # and f32 (8,128) tiles and trims pad FLOPs vs 32 (~4% at GFP shapes,
+    # measured); int8 compute (unused) would need 32.
     Tp = _round_up(T, sublane)
     P = im2col(x).astype(dt)
     Bp = _round_up(B, min(batch_tile, B))

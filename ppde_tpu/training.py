@@ -203,17 +203,52 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 # EBM (persistent contrastive divergence with GWG sampling)
 # ---------------------------------------------------------------------------
 
+def gwg_flip_step(params, x, key, log_prob_fn=None):
+    """One Gibbs-with-gradients bit-flip MH step on binary states [B, D]
+    (Grathwohl et al.; the move kernel of the trainer the reference shells
+    out to, scripts/train_mnist.sh:25-33)."""
+    if log_prob_fn is None:
+        log_prob_fn = mnist_nets.ebm_log_prob
+
+    def e_fn(v):
+        return log_prob_fn(params, v).sum()
+
+    grad = jax.grad(e_fn)(x)
+    logits = grad * -(2.0 * x - 1.0) / 2.0
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.categorical(k1, logits, axis=-1)
+    flip = jax.nn.one_hot(idx, x.shape[-1], dtype=x.dtype)
+    y = (1 - x) * flip + x * (1 - flip)
+    e_x = log_prob_fn(params, x)
+    e_y = log_prob_fn(params, y)
+    fwd = jax.nn.log_softmax(logits, -1)[jnp.arange(x.shape[0]), idx]
+    rev_logits = jax.grad(e_fn)(y) * -(2.0 * y - 1.0) / 2.0
+    rev = jax.nn.log_softmax(rev_logits, -1)[jnp.arange(x.shape[0]), idx]
+    la = e_y - e_x + rev - fwd
+    acc = (jnp.exp(la) > jax.random.uniform(k2, (x.shape[0],)))
+    return jnp.where(acc[:, None], y, x)
+
+
 def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
               batch_size: int = 100, buffer_size: int = 1000,
               sampling_steps: int = 20, lr: float = 1e-4,
               p_control: float = 1e-2, seed: int = 0, log_every: int = 200,
               ckpt_path: str | None = None, ckpt_every: int = 2000,
-              quiet: bool = False, chunk: int = 50):
+              quiet: bool = False, chunk: int = 50,
+              reinit_p: float = 0.05, data_noise_p: float = 0.01):
     """Persistent CD: maximize E[logp(data)] - E[logp(buffer)] with GWG
     chain updates on an on-device replay buffer (the method of the upstream
     GWG_release trainer the reference shells out to). ``p_control``
     penalizes the squared energy-net outputs — without it the CD objective
-    drives the energies unboundedly apart."""
+    drives the energies unboundedly apart. ``reinit_p`` restarts that
+    fraction of each iteration's buffer chains from the Bernoulli base —
+    without it, persistent chains fall behind a sharpening landscape (the
+    stale model term then diverges: observed on the low-diversity augmented
+    real-MNIST corpus, NaN by iter ~600). ``data_noise_p`` flips that
+    fraction of data pixels per batch (the reference's own MNIST training
+    noise, data/mnist.py:56-83) — it lower-bounds the entropy of the target
+    distribution, so the CD gap cannot sharpen without bound on a
+    low-diversity corpus."""
     mean = images.mean(0).clip(1e-2, 1 - 1e-2)
     params = mnist_nets.ebm_init(jax.random.PRNGKey(seed), n_channels,
                                  mean=mean)
@@ -226,37 +261,31 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
         (rng.random((buffer_size, images.shape[1]))
          < np.asarray(mean)[None]).astype(np.float32))
 
-    def gwg_step(params, x, key):
-        def e_fn(v):
-            return mnist_nets.ebm_log_prob(params, v).sum()
-
-        grad = jax.grad(e_fn)(x)
-        logits = grad * -(2.0 * x - 1.0) / 2.0
-        k1, k2 = jax.random.split(key)
-        idx = jax.random.categorical(k1, logits, axis=-1)
-        flip = jax.nn.one_hot(idx, x.shape[-1], dtype=x.dtype)
-        y = (1 - x) * flip + x * (1 - flip)
-        e_x = mnist_nets.ebm_log_prob(params, x)
-        e_y = mnist_nets.ebm_log_prob(params, y)
-        fwd = jax.nn.log_softmax(logits, -1)[jnp.arange(x.shape[0]), idx]
-        rev_logits = jax.grad(e_fn)(y) * -(2.0 * y - 1.0) / 2.0
-        rev = jax.nn.log_softmax(rev_logits, -1)[jnp.arange(x.shape[0]), idx]
-        la = e_y - e_x + rev - fwd
-        acc = (jnp.exp(la) > jax.random.uniform(k2, (x.shape[0],)))
-        return jnp.where(acc[:, None], y, x)
+    mean_j = jnp.asarray(np.asarray(mean), jnp.float32)
 
     def one_step(carry, key):
         params, opt_state, buffer = carry
-        k_data, k_bin, k_buf, k_chain = jax.random.split(key, 4)
+        (k_data, k_bin, k_buf, k_chain,
+         k_re, k_re_bin, k_noise) = jax.random.split(key, 7)
         sel = jax.random.randint(k_data, (batch_size,), 0, data.shape[0])
         x_data = (jax.random.uniform(k_bin, (batch_size, data.shape[1]))
                   < data[sel]).astype(jnp.float32)
+        if data_noise_p > 0:
+            flip = (jax.random.uniform(k_noise, x_data.shape)
+                    < data_noise_p).astype(jnp.float32)
+            x_data = x_data * (1 - flip) + (1 - x_data) * flip
         bsel = jax.random.randint(k_buf, (batch_size,), 0, buffer.shape[0])
+        x0 = buffer[bsel]
+        # restart a fraction of chains from the Bernoulli base each step
+        re = jax.random.uniform(k_re, (batch_size, 1)) < reinit_p
+        fresh = (jax.random.uniform(k_re_bin, x0.shape)
+                 < mean_j[None]).astype(jnp.float32)
+        x0 = jnp.where(re, fresh, x0)
 
         def chain_body(x, k):
-            return gwg_step(params, x, k), ()
+            return gwg_flip_step(params, x, k), ()
 
-        x_model, _ = jax.lax.scan(chain_body, buffer[bsel],
+        x_model, _ = jax.lax.scan(chain_body, x0,
                                   jax.random.split(k_chain, sampling_steps))
 
         def loss_fn(p_):

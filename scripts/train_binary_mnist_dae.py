@@ -28,7 +28,11 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--mnist_source", type=str, default="synthetic")
+    p.add_argument("--mnist_source", type=str,
+                   default="augmented:data/mnist",
+                   help="'augmented[:dir]' = affine-augmented real committed "
+                        "MNIST digits (best real data offline); a raw-MNIST "
+                        "directory; or 'synthetic' (pipeline tests)")
     p.add_argument("--output_dir", type=str, default="weights/mnist_models")
     p.add_argument("--latent_dim", type=int, default=16)
     p.add_argument("--n_channels", type=int, default=64)

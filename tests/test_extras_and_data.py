@@ -60,3 +60,33 @@ def test_static_binary_mnist():
     imgs = dmnist.load_static_binary_mnist("synthetic", "train")
     assert imgs.shape == (4096, 784)
     assert set(np.unique(imgs)).issubset({0.0, 1.0})
+
+
+def test_augmented_real_mnist():
+    imgs, which = dmnist.augmented_real_mnist("data/mnist", 64, seed=3,
+                                              return_sources=True)
+    assert imgs.shape == (64, 784) and which.shape == (64,)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # real-MNIST-like ink fraction, not blank / not saturated
+    assert 0.05 < imgs.mean() < 0.25
+    # deterministic for a fixed seed; different across seeds
+    again = dmnist.augmented_real_mnist("data/mnist", 64, seed=3)
+    np.testing.assert_array_equal(imgs, again)
+    other = dmnist.augmented_real_mnist("data/mnist", 64, seed=4)
+    assert np.abs(imgs - other).max() > 0.1
+    # held-out pool comes from the two validation images only
+    ho = dmnist.augmented_real_mnist("data/mnist", 8, seed=0, heldout=True)
+    assert ho.shape == (8, 784)
+
+
+def test_augmented_source_loader_and_pairs_refusal():
+    imgs, labels = dmnist.load_raw_mnist("augmented:data/mnist", "train")
+    assert imgs.shape == (8192, 784)
+    assert labels.min() >= 0
+    assert labels.max() < len(dmnist.SEED_IMAGE_STEMS)
+    # train and val splits differ (different augmentation streams)
+    val, _ = dmnist.load_raw_mnist("augmented:data/mnist", "val")
+    assert val.shape[0] == 1024
+    assert np.abs(imgs[: len(val)] - val).max() > 0.1
+    with np.testing.assert_raises(ValueError):
+        dmnist.MNISTSumPairs("augmented:data/mnist", None, "train")

@@ -113,6 +113,24 @@ def test_segment_lengths():
     assert base.segment_lengths(5, 50) == [5]
 
 
+def test_step_hlo_has_no_scatter_or_gather():
+    """The step must lower without scatter/gather HLOs: XLA serializes both
+    on TPU, and a take_along_axis/.at[].set formulation measured 2x slower
+    than even the dense [N, L*V] path it replaced (PERF.md)."""
+    en, oracle, pop, pp = make_setup()
+    n, L, V = pop.shape
+    window_ok = utils.position_window_mask(L, V, 2, 17)
+    step = ppde.make_step(en, ppde.PPDEConfig(nmut_threshold=5), window_ok,
+                          n, L, V)
+    ctx = {"energy": en.params, "wt": pop[0], "init_x": pop}
+    e0, f0, g0 = en.energy_and_grad(ctx["energy"], pop)
+    ctx["wt_e"], ctx["wt_fit"], ctx["wt_grad"] = e0[0], f0[0], g0[0]
+    state = (pop, (e0, f0, g0), (e0, f0, pop))
+    hlo = jax.jit(step).lower(ctx, state, jax.random.PRNGKey(0)).as_text()
+    assert hlo.count("scatter(") == 0, "scatter crept into the step HLO"
+    assert hlo.count("gather(") == 0, "gather crept into the step HLO"
+
+
 def test_factored_proposals_match_dense_spec():
     """The factored (position, value) proposal used by make_step must equal
     the dense masked-softmax over [L*V] Taylor logits (the reference's
