@@ -116,6 +116,6 @@ if __name__ == "__main__":
     p.add_argument("--weights_dir", type=str, default="weights/mnist_models")
     p.add_argument("--data_dir", type=str, default="data/mnist")
     p.add_argument("--out_dir", type=str, default="results/mnist")
-    p.add_argument("--n_channels", type=int, default=32)
+    p.add_argument("--n_channels", type=int, default=64)
     p.add_argument("--sample_steps", type=int, default=3000)
     main(p.parse_args())
