@@ -114,6 +114,19 @@ def make_initial_protein_population(protein_dir: str, n_chains: int):
     return jnp.repeat(wt_onehot, n_chains, axis=0)
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations with the
+    same shapes skip the (slow, remote) TPU compile entirely. Safe no-op
+    if the config knobs are unavailable."""
+    try:
+        if cache_dir is None:
+            cache_dir = os.path.join(os.getcwd(), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def dump_config(args, path):
     with open(path, "w") as f:
         json.dump({k: (v if isinstance(v, (int, float, str, bool, type(None)))

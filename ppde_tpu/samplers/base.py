@@ -181,13 +181,27 @@ def update_best(best, new_e, new_fit, new_x):
 
 
 def package_result(*, e0, fit0, x0_traj_head, best, final_x, rec,
-                   traj_key: str = "traj") -> SamplerResult:
-    """Assemble the standard SamplerResult from scan records."""
+                   traj_key: str = "traj",
+                   traj_tokens: bool = False) -> SamplerResult:
+    """Assemble the standard SamplerResult from scan records.
+
+    traj_tokens: the per-step traj records are int token vectors [L]
+    (samplers emit those to keep the per-segment host transfer thin — the
+    remote-TPU tunnel moves ~5 MB/s, and a [steps, L, V] float trajectory
+    costs ~190 MB per 10k-step GFP run vs ~2 MB as int8 tokens); the
+    one-hot [n, L, V] contract is reconstructed here on the host.
+    """
     best_e, best_fit, best_x = jax.device_get(best)
     traj = None
     if traj_key in rec:
-        traj = np.concatenate([np.asarray(x0_traj_head)[None],
-                               rec[traj_key]], 0)
+        t = np.asarray(rec[traj_key])
+        head = np.asarray(x0_traj_head)
+        if traj_tokens:
+            eye = np.eye(head.shape[-1], dtype=np.float32)
+            t = eye[t.astype(np.int64)]
+        elif np.issubdtype(t.dtype, np.integer):
+            t = t.astype(np.float32)  # uint8 binary images -> float
+        traj = np.concatenate([head[None], t], 0)
     return SamplerResult(
         best_x=np.asarray(best_x), best_energy=np.asarray(best_e),
         best_fitness=np.asarray(best_fit),

@@ -64,7 +64,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         noise = jax.random.normal(k_noise, logits.shape) * cfg.step_size ** 2
         new_logits = logits + (cfg.step_size / 2.0) * g + noise
         best = base.update_best(best, e, fit, xh)
-        ys = {"energy": e, "fitness": fit, "traj": xh[0]}
+        ys = {"energy": e, "fitness": fit, "traj": xh[0].astype(jnp.uint8)}
         return (new_logits, best), ys
 
     oracle_fn = None

@@ -79,7 +79,7 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
 
         best = base.update_best(best, new_e, new_fit, new_x2)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
-              "traj": new_x2[0]}
+              "traj": new_x2[0].astype(jnp.uint8)}
         return (new_x2, (new_e, new_fit, new_grad), best), ys
 
     return step
@@ -120,7 +120,7 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
 
         best = base.update_best(best, new_e, new_fit, new_x2)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
-              "traj": new_x2[0]}
+              "traj": new_x2[0].astype(jnp.uint8)}
         return (new_x2, (new_e, new_fit, new_grad), best), ys
 
     return step

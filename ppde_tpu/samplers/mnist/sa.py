@@ -80,7 +80,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         new_fit = jnp.where(accepted, fit_p, cur_fit)
         best = base.update_best(best, new_e, new_fit, new_x)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
-              "traj": new_x[0]}
+              "traj": new_x[0].astype(jnp.uint8)}
         return (new_x, new_e, new_fit, step_i + 1, best), ys
 
     state0 = (x2_init, e0, fit0, jnp.zeros((), jnp.float32), best0)

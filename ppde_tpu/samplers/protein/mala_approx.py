@@ -74,7 +74,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         new_logits = logits + (cfg.step_size / 2.0) * g + noise
 
         best = base.update_best(best, e, fit, full)
-        ys = {"energy": e, "fitness": fit, "traj": full[0]}
+        ys = {"energy": e, "fitness": fit, "traj": jnp.argmax(full[0], -1).astype(jnp.int8)}
         return (new_logits, best), ys
 
     ctx = {"energy": energy.params, "left": x0[:, :min_pos],
@@ -100,4 +100,5 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     final_hard = jax.nn.one_hot(jnp.argmax(final_logits, -1), V)
     final_x = assemble(ctx, final_hard)
     return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               traj_tokens=True,
                                best=best, final_x=final_x, rec=rec)

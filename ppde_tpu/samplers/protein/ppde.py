@@ -193,7 +193,9 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
             rec_e, rec_fit = new_e, new_fit
 
         best = base.update_best(best, rec_e, rec_fit, new_x)
-        traj_row = new_x[0]
+        # chain-0 trajectory as int8 tokens: 20x thinner per-segment host
+        # transfer (package_result reconstructs the one-hot)
+        traj_row = jnp.argmax(new_x[0], axis=-1).astype(jnp.int8)
 
         if not cfg.paper_results:
             # hard constraint: chains that hit the budget restart from WT
@@ -248,4 +250,5 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         checkpoint_dir=checkpoint_dir)
 
     return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               traj_tokens=True,
                                best=best, final_x=final_x, rec=rec)

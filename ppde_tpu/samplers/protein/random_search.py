@@ -54,7 +54,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
                     cfg.max_edits)
         e_p, fit_p = energy.energy(ctx["energy"], y)
         best = base.update_best(best, e_p, fit_p, y)
-        ys = {"energy": e_p, "fitness": fit_p, "traj": y[0]}
+        ys = {"energy": e_p, "fitness": fit_p, "traj": jnp.argmax(y[0], -1).astype(jnp.int8)}
         return (y, best), ys
 
     (final_x, best), rec = base.run_segmented(
@@ -64,4 +64,5 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         checkpoint_dir=checkpoint_dir)
 
     return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               traj_tokens=True,
                                best=best, final_x=final_x, rec=rec)

@@ -99,7 +99,7 @@ def make_step(energy: Energy, cfg: SAConfig, min_pos: int, max_pos: int,
 
         best = base.update_best(best, new_e, new_fit, new_x)
         ys = {"energy": new_e, "fitness": new_fit, "accepted": accepted,
-              "traj": new_x[0]}
+              "traj": jnp.argmax(new_x[0], -1).astype(jnp.int8)}
         return (new_x, new_e, new_fit, step_i + 1, best), ys
 
     return step
@@ -136,4 +136,5 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         checkpoint_dir=checkpoint_dir)
 
     return base.package_result(e0=e0, fit0=fit0, x0_traj_head=x0[0],
+                               traj_tokens=True,
                                best=best, final_x=final_x, rec=rec)

@@ -68,6 +68,7 @@ def main(args):
     from ppde_tpu import runtime
     from ppde_tpu.models import potts as potts_mod
 
+    runtime.enable_compile_cache()
     np.random.seed(args.seed)
 
     unique = (f"{args.sampler}_{args.seed}"

@@ -127,6 +127,8 @@ def get_sampler_runner(args):
 
 
 def main(args):
+    from ppde_tpu import runtime as _rt
+    _rt.enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
