@@ -61,6 +61,15 @@ class PPDEConfig:
     nmut_threshold: int = 0      # 0 disables the hard constraint
     paper_results: bool = False  # reset rejected chains to WT (legacy mode)
     temp: float = 2.0            # locally-balanced g(t)=sqrt(t) temperature
+    # The reference evaluates the reverse-path log-probs at the FORWARD
+    # indices (p_t, new_v_t) — whose gathered logit from x_{t+1} is
+    # identically 0 — instead of the true reverse moves (p_t, old_v_t)
+    # (protein_samplers/ppde.py:126-132). That index pairing is not a valid
+    # MH involution and biases the chain toward high energies (measured:
+    # mean energy off by ~0.45 exact-std on an enumerable 256-state
+    # Boltzmann target; tests/test_ppde_protein.py gold test). Default
+    # False = correct reverse; True reproduces the reference's estimator.
+    reference_reverse: bool = False
 
 
 def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
@@ -133,6 +142,7 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
             # in-window, and over-budget reverts are window-checked above
             g_new = jnp.sum(jnp.where(v_oh, vl, 0.0), axis=-1)      # [N]
             old_v = jnp.sum(jnp.where(pos_oh, tok, 0), axis=-1)
+            o_oh = iota_v[None] == old_v[:, None]                   # [N,V]
             upd = pos_oh & live[:, None]
             tok = jnp.where(upd, v_idx[:, None], tok)
             g_tok = jnp.where(upd, g_new[:, None], g_tok)
@@ -140,27 +150,35 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
                 live,
                 (v_idx != wt_at_l).astype(jnp.int32)
                 - (old_v != wt_at_l).astype(jnp.int32), 0)
-            return (tok, g_tok, dist), (pos_oh, v_oh, fwd_logp)
+            return (tok, g_tok, dist), (pos_oh, v_oh, o_oh, fwd_logp)
 
         inner_keys = jax.random.split(k_inner, max_u)
-        (tok_y, _, dist_y), (pos_ohs, v_ohs, fwd_logps) = jax.lax.scan(
+        (tok_y, _, dist_y), (pos_ohs, v_ohs, o_ohs, fwd_logps) = jax.lax.scan(
             inner, (tok0, g_tok0, dist0),
             (inner_keys, jnp.arange(max_u)))
 
         y = jax.nn.one_hot(tok_y, V, dtype=cur_x.dtype)
         e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y)
 
-        # ---- reverse path (:126-132): the gathered reverse logit at idx_t
-        # from state x_{t+1} is identically 0 (see module docstring), so
-        # rev_logp_t = -logZ(x_{t+1}); logZ updates one position per step
+        # ---- reverse path: log q(reverse move | x_{t+1}) under the
+        # grad_y-anchored temp-2 proposal (reference :126-132). The true
+        # reverse move from x_{t+1} re-sets position p_t to the OLD value
+        # o_t, so its logit is gy[p_t, o_t] - gy[p_t, v_t]; the reference
+        # instead gathers the FORWARD index (p_t, v_t), whose logit is
+        # identically 0 (cfg.reference_reverse — biased, see PPDEConfig).
+        # logZ(x_{t+1}) updates one position per step either way.
         gy = grad_y.astype(jnp.float32) / 2.0
         lsY = jax.nn.logsumexp(gy, axis=-1)                         # [N,L]
         gy_tok0 = jnp.sum(gy * cur_x, axis=-1)                      # [N,L]
-        # gy at each step's (l_t, v_t): contract the position one-hots with
-        # gy (batched matvec — no [max_u, N, L, V] broadcast materializes),
-        # then select the value column
+        # gy rows at each step's position: contract the position one-hots
+        # with gy (batched matvec — no [max_u, N, L, V] broadcast
+        # materializes), then select the value columns
         rows_uv = jnp.einsum("unl,nlv->unv", pos_ohs.astype(gy.dtype), gy)
         gy_steps = jnp.sum(rows_uv * v_ohs, axis=-1)                # [max_u,N]
+        if cfg.reference_reverse:
+            rev_picked = jnp.zeros_like(gy_steps)
+        else:
+            rev_picked = jnp.sum(rows_uv * o_ohs, axis=-1) - gy_steps
 
         def rev_body(gy_tok, inp):
             pos_oh, gy_new, live = inp
@@ -168,8 +186,9 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
                                gy_tok)
             return gy_tok, -jax.nn.logsumexp(lsY - gy_tok, axis=-1)
 
-        _, rev_logps = jax.lax.scan(rev_body, gy_tok0,
-                                    (pos_ohs, gy_steps, u_mask))
+        _, neg_logZ = jax.lax.scan(rev_body, gy_tok0,
+                                   (pos_ohs, gy_steps, u_mask))
+        rev_logps = rev_picked + neg_logZ
         log_ratio = jnp.sum(u_mask * (rev_logps - fwd_logps), axis=0)
 
         log_acc = (e_prop - e_cur) + log_ratio

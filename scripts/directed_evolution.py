@@ -32,7 +32,8 @@ def get_sampler_runner(args):
     if args.sampler == "PPDE":
         cfg = ppde.PPDEConfig(pas_length=args.ppde_pas_length,
                               nmut_threshold=args.nmut_threshold,
-                              paper_results=args.paper_results)
+                              paper_results=args.paper_results,
+                              reference_reverse=args.ppde_reference_reverse)
         return lambda **kw: ppde.run(cfg=cfg, key=key, checkpoint_dir=ck,
                                      **kw)
     if args.sampler == "simulated_annealing":
@@ -220,6 +221,12 @@ def build_parser():
 
     pp = p.add_argument_group("ppde")
     pp.add_argument("--ppde_pas_length", type=int, default=2)
+    pp.add_argument("--ppde_reference_reverse", action="store_true",
+                    help="reproduce the reference's reverse-path estimator "
+                         "(evaluates reverse log-probs at the FORWARD "
+                         "indices — not a valid MH involution; biases the "
+                         "chain hot. Default is the corrected reverse; see "
+                         "PPDEConfig.reference_reverse)")
     return p
 
 

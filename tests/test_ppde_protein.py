@@ -113,6 +113,76 @@ def test_segment_lengths():
     assert base.segment_lengths(5, 50) == [5]
 
 
+def _boltzmann_gap(pas_length, reference_reverse, seed=11):
+    """|empirical mean energy - exact Boltzmann mean| / exact std on a tiny
+    quadratic categorical energy with an enumerable (V^L = 256) state
+    space, after running the full PAS machinery."""
+    L, V = 4, 4
+    rng = np.random.default_rng(3)
+    D = L * V
+    J = rng.normal(0, 0.6, (D, D))
+    J = (J + J.T) / 2
+    for i in range(L):  # no self-interactions within a position
+        J[i * V:(i + 1) * V, i * V:(i + 1) * V] = 0.0
+    h = rng.normal(0, 0.8, D)
+    Jb = {"J": jnp.asarray(J.astype(np.float32)),
+          "h": jnp.asarray(h.astype(np.float32))}
+
+    def e_fn(p, x):
+        xf = x.reshape(x.shape[0], -1)
+        e = 0.5 * jnp.einsum("nd,de,ne->n", xf, p["J"], xf) + xf @ p["h"]
+        return e, e
+
+    def e_and_grad(p, x):
+        e, _ = e_fn(p, x)
+        xf = x.reshape(x.shape[0], -1)
+        grad = (xf @ p["J"] + p["h"][None]).reshape(x.shape)
+        return e, e, grad
+
+    en = energy_mod.Energy(params=Jb, energy=e_fn,
+                           energy_and_grad=e_and_grad,
+                           fitness=lambda p, x: e_fn(p, x)[0])
+
+    n_chains, n_steps, burn = 64, 2500, 500
+    x0 = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, V, (n_chains, L))), V)
+    res = ppde.run(en, x0, n_steps, min_pos=0, max_pos=L - 1, oracle=None,
+                   cfg=ppde.PPDEConfig(pas_length=pas_length,
+                                       reference_reverse=reference_reverse),
+                   key=jax.random.PRNGKey(seed), log_every=n_steps,
+                   quiet=True)
+
+    toks = np.array(np.meshgrid(*([range(V)] * L),
+                                indexing="ij")).reshape(L, -1).T
+    states = np.eye(V, dtype=np.float32)[toks].reshape(-1, D)
+    es = 0.5 * np.einsum("nd,de,ne->n", states, J, states) + states @ h
+    p = np.exp(es - es.max())
+    p /= p.sum()
+    exact_mean = (p * es).sum()
+    exact_std = np.sqrt((p * (es - exact_mean) ** 2).sum())
+    emp_mean = res.energy_history[burn:].mean()
+    return (emp_mean - exact_mean) / exact_std
+
+
+@pytest.mark.parametrize("pas_length", [1, 2])
+def test_pas_boltzmann_stationarity(pas_length):
+    """Gold test: the full factored PAS machinery (forward path sampling,
+    reverse-move log-ratio, MH accept, carried energy/grad) must sample
+    the exact Boltzmann distribution pi(x) ~ exp(E(x))."""
+    gap = _boltzmann_gap(pas_length, reference_reverse=False)
+    assert abs(gap) < 0.12, gap
+
+
+def test_reference_reverse_mode_is_biased():
+    """The reference evaluates reverse log-probs at the FORWARD indices
+    (gathered logit identically 0) — not a valid MH involution. This test
+    pins the measured consequence: a systematic high-energy bias several
+    times our stationarity tolerance. Documents WHY reference_reverse
+    defaults to False."""
+    gap = _boltzmann_gap(2, reference_reverse=True)
+    assert gap > 0.3, gap  # biased hot by > 0.3 exact-std
+
+
 def test_step_hlo_has_no_scatter_or_gather():
     """The step must lower without scatter/gather HLOs: XLA serializes both
     on TPU, and a take_along_axis/.at[].set formulation measured 2x slower
