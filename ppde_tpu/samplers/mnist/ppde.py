@@ -11,6 +11,13 @@ MH accept per chain with strict '>' (:141, vs protein's '>=').
 
 TPU-first: the per-step variable n_samples / path length become static
 maxima with masking; the whole step is scanned (no host syncs).
+
+NB: unlike the protein domain, evaluating the reverse path at the FORWARD
+indices is CORRECT here — a bit-flip is its own inverse, so the reverse
+move from x_{t+1} back to x_t is the same index idx_t. (The protein
+substitution move "write value v at position p" is not self-inverse, which
+is where the reference's reverse-path bias comes from — see
+protein/ppde.PPDEConfig.reference_reverse.)
 """
 from __future__ import annotations
 
