@@ -31,7 +31,16 @@ run() {
 
 for prot in "${!LAMBDA_POTTS[@]}"; do
   lam=${LAMBDA_POTTS[$prot]}
-  for sampler in PPDE simulated_annealing Random MALA-approx; do
+  # PPDE twice: the corrected-reverse default, and the reference's biased
+  # reverse estimator for apples-to-apples comparison with the paper's
+  # tables (PARITY.md "correctness discovery")
+  run --protein "$prot" --sampler PPDE \
+      --unsupervised_expert potts --energy_lamda "$lam" \
+      --run_signature potts_exact
+  run --protein "$prot" --sampler PPDE --ppde_reference_reverse \
+      --unsupervised_expert potts --energy_lamda "$lam" \
+      --run_signature potts
+  for sampler in simulated_annealing Random MALA-approx; do
     run --protein "$prot" --sampler "$sampler" \
         --unsupervised_expert potts --energy_lamda "$lam" \
         --run_signature potts
