@@ -102,9 +102,11 @@ def _tied_row_attention(p, x):
     k = _heads(x @ p["k"]["w"] + p["k"]["b"], H)
     v = _heads(x @ p["v"]["w"] + p["v"]["b"], H)
     scaling = 1.0 / (math.sqrt(hd) * math.sqrt(max(R, 1)))
-    logits = jnp.einsum("brchd,brehd->bhce", q * scaling, k,
-                        preferred_element_type=jnp.float32)  # [B,H,C,C]
-    w = jax.nn.softmax(logits, -1).astype(x.dtype)
+    # scores in the compute dtype, f32 softmax (same treatment as the
+    # ESM2 expert — the f32 score materialization dominated attention time;
+    # f32 params still get exact f32 scores)
+    logits = jnp.einsum("brchd,brehd->bhce", q * scaling, k)  # [B,H,C,C]
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
     out = jnp.einsum("bhce,brehd->brchd", w, v)
     out = out.reshape(B, R, C, D)
     return out @ p["o"]["w"] + p["o"]["b"]
@@ -118,9 +120,9 @@ def _column_attention(p, x):
     q = _heads(x @ p["q"]["w"] + p["q"]["b"], H)
     k = _heads(x @ p["k"]["w"] + p["k"]["b"], H)
     v = _heads(x @ p["v"]["w"] + p["v"]["b"], H)
-    logits = jnp.einsum("brchd,bschd->bhcrs", q / math.sqrt(hd), k,
-                        preferred_element_type=jnp.float32)  # [B,H,C,R,R]
-    w = jax.nn.softmax(logits, -1).astype(x.dtype)
+    logits = jnp.einsum("brchd,bschd->bhcrs", q / math.sqrt(hd),
+                        k)  # [B,H,C,R,R]; compute-dtype scores (see above)
+    w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
     out = jnp.einsum("bhcrs,bschd->brchd", w, v)
     out = out.reshape(B, R, C, D)
     return out @ p["o"]["w"] + p["o"]["b"]
