@@ -170,6 +170,108 @@ def ensemble_fit_and_patch_grad(P, enc_w, enc_b, emb_w, emb_b, dec_w, dec_b,
     return fit[:, 0], dP
 
 
+def _kernel_m(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
+              embb_ref, decw_ref, decb_ref, fit_ref, dP_ref,
+              *, n_members: int, t_real: int):
+    """Member-axis grid variant: grid = (B // bt, M), m innermost. Only ONE
+    member's weights + activations are VMEM-resident per grid step (~1/M
+    the scoped VMEM of the unrolled kernel, admitting larger batch tiles);
+    the fit/dP output blocks ignore m, stay resident across the m-loop and
+    accumulate (zeroed at m == 0)."""
+    m = pl.program_id(1)
+    bt, Tp, KV = P_ref.shape
+    C2 = embw_ref.shape[-1]
+    cdt = P_ref.dtype
+    f32 = jnp.float32
+
+    P2 = P_ref[...].reshape(bt * Tp, KV)
+    tmask = jax.lax.broadcasted_iota(jnp.int32, (bt, Tp, C2), 1) < t_real
+    inv_m = 1.0 / n_members
+
+    H1 = jnp.maximum(
+        jnp.dot(P2, encw_ref[0], preferred_element_type=f32)
+        + encb_ref[0], 0.0).astype(cdt)
+    H2 = jnp.maximum(
+        jnp.dot(H1, embw_ref[0], preferred_element_type=f32)
+        + embb_ref[0], 0.0).astype(cdt)
+    Hm = jnp.where(tmask, H2.reshape(bt, Tp, C2), jnp.asarray(_NEG, cdt))
+    mxf = jnp.max(Hm, axis=1).astype(f32)
+    dec_row = decw_ref[0].astype(f32)
+    fit = jnp.sum(mxf * dec_row, axis=-1, keepdims=True)
+
+    ties = (Hm.astype(f32) == mxf[:, None, :]).astype(cdt)
+    counts = jnp.sum(ties.astype(f32), axis=1)
+    scale = jnp.where(mxf > 0.0, dec_row / counts, 0.0).astype(cdt)
+    G2 = (ties * scale[:, None, :]).reshape(bt * Tp, C2)
+    G1 = jnp.dot(G2, embwT_ref[0], preferred_element_type=f32)
+    G1 = jnp.where(H1.astype(f32) > 0.0, G1, 0.0).astype(cdt)
+    dP = inv_m * jnp.dot(G1, encwT_ref[0], preferred_element_type=f32)
+
+    @pl.when(m == 0)
+    def _():
+        fit_ref[...] = jnp.zeros_like(fit_ref)
+        dP_ref[...] = jnp.zeros_like(dP_ref)
+
+    fit_ref[...] += (fit + decb_ref[0]) * inv_m
+    dP_ref[...] += dP.reshape(bt, Tp, KV)
+
+
+@functools.partial(jax.jit, static_argnames=("t_real", "batch_tile",
+                                              "interpret"))
+def ensemble_fit_and_patch_grad_m(P, enc_w, enc_b, emb_w, emb_b, dec_w,
+                                  dec_b, t_real: int, batch_tile: int = 16,
+                                  interpret: bool = False):
+    """Member-grid twin of ensemble_fit_and_patch_grad (same contract)."""
+    B, Tp, KV = P.shape
+    M, _, C = enc_w.shape
+    C2 = emb_w.shape[-1]
+    bt = min(batch_tile, B)
+
+    kern = functools.partial(_kernel_m, n_members=M, t_real=t_real)
+    fit, dP = pl.pallas_call(
+        kern,
+        grid=(B // bt, M),
+        in_specs=[
+            pl.BlockSpec((bt, Tp, KV), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, C), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, KV), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, C2), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2, C), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C2), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C2), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 1), lambda b, m: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, Tp, KV), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, KV), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * B * t_real * (KV * C + C * C2) * M,
+            bytes_accessed=2 * P.size * P.dtype.itemsize * M,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(P, enc_w, jnp.swapaxes(enc_w, 1, 2), enc_b, emb_w,
+      jnp.swapaxes(emb_w, 1, 2), emb_b, dec_w, dec_b)
+    return fit[:, 0], dP
+
+
 def _round_up(n: int, k: int) -> int:
     return (n + k - 1) // k * k
 
@@ -178,7 +280,8 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
                             compute_dtype=jnp.bfloat16,
                             batch_tile: int = 8,
                             interpret: bool = False,
-                            sublane: int = 16):
+                            sublane: int = 16,
+                            member_grid: bool = False):
     """(fitness [B], d mean-fitness / dx [B, L, V]) — fused Pallas path.
 
     stacked_params: the cnn.init_ensemble / torch_convert layout
@@ -207,7 +310,9 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
     Bp = _round_up(B, min(batch_tile, B))
     P = jnp.pad(P, ((0, Bp - B), (0, Tp - T), (0, 0)))
 
-    fit, dP = ensemble_fit_and_patch_grad(
+    call = (ensemble_fit_and_patch_grad_m if member_grid
+            else ensemble_fit_and_patch_grad)
+    fit, dP = call(
         P, enc_w,
         enc["b"].astype(jnp.float32).reshape(M, 1, C),
         emb_w,

@@ -48,6 +48,21 @@ def test_fused_matches_xla_f32(setup):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_member_grid_kernel_matches_unrolled(setup):
+    """The member-axis-grid kernel variant (1/M the scoped VMEM) must equal
+    the member-unrolled kernel bit-for-bit up to accumulation order."""
+    ens, x = setup
+    f0, g0 = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=8, interpret=True)
+    f1, g1 = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True,
+        member_grid=True)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_bf16_close(setup):
     ens, x = setup
     fit_ref, gx_ref = xla_fit_and_grad(ens, x)
