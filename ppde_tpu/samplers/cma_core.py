@@ -148,3 +148,44 @@ class CMAES:
         X = self.ask()
         f = np.asarray(objective(X), np.float64)
         return X, f
+
+    # -- checkpointing (flat dict of numpy arrays; json-packed RNG state) --
+
+    def get_state(self) -> dict:
+        import json
+
+        st = {"mean": self.mean, "sigma": np.float64(self.sigma),
+              "pc": self.pc, "ps": self.ps, "C": self.C, "D": self.D,
+              "eigen_stale": np.int64(self.eigen_stale),
+              "generation": np.int64(self.generation),
+              "diag": np.bool_(self.diag),
+              "rng_state": np.frombuffer(
+                  json.dumps(self.rng.bit_generator.state).encode(),
+                  np.uint8)}
+        if self.diag:
+            st["invsqrtD"] = self.invsqrtD
+        else:
+            st["B"] = self.B
+            st["invsqrtC"] = self.invsqrtC
+        return st
+
+    def set_state(self, st: dict) -> None:
+        import json
+
+        assert bool(st["diag"]) == self.diag, \
+            "checkpoint covariance model (diag/full) mismatches config"
+        self.mean = np.asarray(st["mean"], np.float64)
+        self.sigma = float(st["sigma"])
+        self.pc = np.asarray(st["pc"], np.float64)
+        self.ps = np.asarray(st["ps"], np.float64)
+        self.C = np.asarray(st["C"], np.float64)
+        self.D = np.asarray(st["D"], np.float64)
+        self.eigen_stale = int(st["eigen_stale"])
+        self.generation = int(st["generation"])
+        if self.diag:
+            self.invsqrtD = np.asarray(st["invsqrtD"], np.float64)
+        else:
+            self.B = np.asarray(st["B"], np.float64)
+            self.invsqrtC = np.asarray(st["invsqrtC"], np.float64)
+        self.rng.bit_generator.state = json.loads(
+            bytes(st["rng_state"]).decode())

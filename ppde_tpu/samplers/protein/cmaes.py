@@ -15,6 +15,7 @@ time, batch size 1, :60-72).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +40,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         min_pos: int, max_pos: int, oracle=None,
         cfg: CMAESConfig | None = None, key: jax.Array | None = None,
         log_every: int = 50, quiet: bool = False,
-        seed: int = 0) -> base.SamplerResult:
+        seed: int = 0, checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or CMAESConfig()
     x0 = np.asarray(initial_population)
     n_chains, L, V = x0.shape
@@ -69,10 +70,43 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     seq_arch: list[np.ndarray] = []   # [L,V] candidates
     e_arch: list[float] = []
     fitness_history, energy_history, oracle_history = [], [], []
+    start_step = 0
 
     e0, fit0 = jax.jit(energy.energy)(eparams, jnp.asarray(x0))
     energy_history.append(np.asarray(e0))
     fitness_history.append(np.asarray(fit0))
+
+    # -- host-side checkpoint/resume (the MCMC samplers get this from
+    # base.run_segmented; CMA-ES state lives on the host) --
+    ck_path = (os.path.join(checkpoint_dir, "cmaes_state.npz")
+               if checkpoint_dir else None)
+    if ck_path and os.path.exists(ck_path):
+        z = np.load(ck_path, allow_pickle=False)
+        es.set_state({k[3:]: z[k] for k in z.files if k.startswith("es_")})
+        start_step = int(z["step"])
+        seq_arch = list(z["seq_arch"])
+        e_arch = list(z["e_arch"])
+        fitness_history = list(z["fitness_history"])
+        energy_history = list(z["energy_history"])
+        oracle_history = list(z["oracle_history"])
+        if not quiet:
+            print(f"[resume] CMA-ES at generation {start_step} from "
+                  f"{ck_path}", flush=True)
+
+    def save_ckpt(step):
+        if not ck_path:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = ck_path + ".tmp.npz"
+        np.savez(tmp, step=np.int64(step),
+                 seq_arch=np.stack(seq_arch, 0),
+                 e_arch=np.asarray(e_arch),
+                 fitness_history=np.stack(fitness_history, 0),
+                 energy_history=np.stack(energy_history, 0),
+                 oracle_history=(np.stack(oracle_history, 0)
+                                 if oracle_history else np.zeros((0,))),
+                 **{"es_" + k: v for k, v in es.get_state().items()})
+        os.replace(tmp, ck_path)
 
     def top_k():
         e = np.asarray(e_arch)
@@ -85,7 +119,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
 
     import time
     t0 = time.perf_counter()
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         X = es.ask()
         e, fit, full = batch_energy(eparams, left, right,
                                     jnp.asarray(X, jnp.float32))
@@ -107,6 +141,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
             # re-seed archive with the current top-K (reference :108-110)
             seq_arch = [s for s in seqs]
             e_arch = list(es_top)
+            save_ckpt(step + 1)
             if not quiet:
                 eq = np.quantile(es_top, [0.5, 0.9])
                 fq = np.quantile(fit_top, [0.5, 0.9])

@@ -58,7 +58,8 @@ def get_sampler_runner(args):
             population_size=args.cmaes_population_size,
             initial_variance=args.cmaes_initial_variance,
             diag={"auto": None, "full": False, "sep": True}[args.cmaes_cov])
-        return lambda **kw: cmaes.run(cfg=cfg, seed=args.seed, **kw)
+        return lambda **kw: cmaes.run(cfg=cfg, seed=args.seed,
+                                      checkpoint_dir=ck, **kw)
     raise ValueError(f"unknown sampler {args.sampler}")
 
 

@@ -24,9 +24,11 @@ declare -A LAMBDA_TRANSFORMER=(
 
 run() {
   echo "=== $*" >&2
-  PYTHONPATH=.:${PYTHONPATH:-} python scripts/directed_evolution.py "$@" \
+  # tools/tpu_run.sh retries TPU-claim races / transient backend errors;
+  # `|| echo` keeps one flaky cell from aborting the whole sweep (set -e)
+  tools/tpu_run.sh scripts/directed_evolution.py "$@" \
     --n_iters "$N_ITERS" --n_chains "$N_CHAINS" --seed "$SEED" \
-    --nmut_threshold 10 $EXTRA
+    --nmut_threshold 10 $EXTRA || echo "[sweep] FAILED: $*" >&2
 }
 
 for prot in "${!LAMBDA_POTTS[@]}"; do

@@ -145,6 +145,26 @@ def test_cma_core_auto_diag_threshold():
     assert big.C.ndim == 1 and np.all(big.C > 0)
 
 
+def test_cmaes_checkpoint_resume_bit_exact(setup, tmp_path):
+    """An interrupted-then-resumed CMA-ES run must equal an uninterrupted
+    one bit-for-bit (host RNG state + distribution state + archives all
+    restore)."""
+    en, oracle, pop = setup
+    kw = dict(min_pos=2, max_pos=17, oracle=oracle,
+              cfg=cmaes.CMAESConfig(population_size=8),
+              log_every=10, quiet=True, seed=5)
+    full = cmaes.run(en, pop, 40, **kw)
+
+    ck = str(tmp_path / "cma_ck")
+    cmaes.run(en, pop, 20, checkpoint_dir=ck, **kw)   # interrupted at 20
+    resumed = cmaes.run(en, pop, 40, checkpoint_dir=ck, **kw)
+
+    np.testing.assert_array_equal(resumed.best_x, full.best_x)
+    np.testing.assert_array_equal(resumed.best_energy, full.best_energy)
+    np.testing.assert_array_equal(resumed.fitness_history,
+                                  full.fitness_history)
+
+
 def test_cmaes_sampler(setup):
     en, oracle, pop = setup
     res = cmaes.run(en, pop, 30, 2, 17, oracle=oracle,
