@@ -69,6 +69,12 @@ class PPDEConfig:
     # mean energy off by ~0.45 exact-std on an enumerable 256-state
     # Boltzmann target; tests/test_ppde_protein.py gold test). Default
     # False = correct reverse; True reproduces the reference's estimator.
+    # NB: matching the reference, the reverse kernel stays UNMASKED and at
+    # temp 2.0 — exact detailed balance additionally requires masks inert
+    # along the path (no nmut crossing, full window) and temp == 2.0,
+    # which is what the gold test verifies; with the hard nmut budget
+    # active, even the corrected reverse remains approximate at the budget
+    # boundary (as in the reference).
     reference_reverse: bool = False
 
 
