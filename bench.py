@@ -191,12 +191,15 @@ def main():
     ap.add_argument("--cnn-chunk", type=int, default=None,
                     help="lax.map the CNN energy over chain chunks of this "
                          "size (default: 128 when --chains > 256)")
-    ap.add_argument("--fused-cnn", action="store_true",
+    ap.add_argument("--fused-cnn", action="store_true", default=None,
                     help="use the fused Pallas CNN kernel for the "
-                         "supervised expert (wins in isolation, ~6%% slower "
-                         "in the full step: the extra pallas call is a "
-                         "fusion barrier)")
+                         "supervised expert (default: auto — on for >256 "
+                         "chains where it wins 8%%, off at 128 where the "
+                         "extra pallas call costs ~1.6%%; PERF.md)")
+    ap.add_argument("--no-fused-cnn", dest="fused_cnn", action="store_false")
     args = ap.parse_args()
+    if args.fused_cnn is None:
+        args.fused_cnn = args.chains > 256
 
     _enable_compile_cache()
     jax_sps = bench_jax(args.steps, args.warmup, args.dtype,
