@@ -54,15 +54,36 @@ def exists(ckpt_dir: str) -> bool:
 
 def load(ckpt_dir: str, state_like):
     """Restore (state, key, steps_done, records). ``state_like`` provides the
-    pytree structure (arrays are replaced by the checkpointed values)."""
+    pytree structure (arrays are replaced by the checkpointed values).
+
+    Every leaf is validated against ``state_like``'s shape AND dtype, naming
+    the offending leaf by its pytree path — a changed run config with a
+    coincidentally equal leaf count must fail HERE with a readable error,
+    not later inside jit (or silently reshape in host code)."""
     z = np.load(os.path.join(ckpt_dir, "state.npz"))
-    flat, treedef = jax.tree.flatten(state_like)
-    assert int(z["n_leaves"]) == len(flat), (
-        f"checkpoint has {int(z['n_leaves'])} leaves, run config produces "
-        f"{len(flat)} — configuration mismatch")
+    flat_paths, treedef = jax.tree_util.tree_flatten_with_path(state_like)
+    if int(z["n_leaves"]) != len(flat_paths):
+        raise ValueError(
+            f"checkpoint has {int(z['n_leaves'])} leaves, run config "
+            f"produces {len(flat_paths)} — configuration mismatch")
     import jax.numpy as jnp
 
-    leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(flat))]
+    leaves = []
+    for i, (path, like) in enumerate(flat_paths):
+        arr = z[f"leaf{i}"]
+        like = np.asarray(like)
+        name = jax.tree_util.keystr(path) or f"leaf{i}"
+        if tuple(arr.shape) != tuple(like.shape):
+            raise ValueError(
+                f"checkpoint leaf {name}: stored shape {tuple(arr.shape)} != "
+                f"configured {tuple(like.shape)} — the run configuration "
+                "changed since this checkpoint was written")
+        if arr.dtype != like.dtype:
+            raise ValueError(
+                f"checkpoint leaf {name}: stored dtype {arr.dtype} != "
+                f"configured {like.dtype} — the run configuration changed "
+                "since this checkpoint was written")
+        leaves.append(jnp.asarray(arr))
     state = jax.tree.unflatten(treedef, leaves)
     key = jnp.asarray(z["key"])
     steps_done = int(z["steps_done"])

@@ -126,8 +126,14 @@ def load_raw_mnist(source: str, split: str = "train"):
     if source.startswith("augmented"):
         data_dir = source.split(":", 1)[1] if ":" in source else "data/mnist"
         n = 8192 if split == "train" else 1024
+        # NB: the val split draws augmentations of the TWO HELD-OUT
+        # validation_*.npy digits (never seen by train, which augments the
+        # 10 seed digits) — a genuinely held-out early-stopping signal;
+        # scripts/eval_mnist_ebm.py additionally scores the raw held-out
+        # images themselves.
         imgs, which = augmented_real_mnist(data_dir, n,
                                            seed=0 if split == "train" else 1,
+                                           heldout=split != "train",
                                            return_sources=True)
         # digit identities of the seed images are unknown: labels are the
         # seed-image INDEX (augmentation provenance), usable only by

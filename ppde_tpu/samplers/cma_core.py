@@ -172,8 +172,13 @@ class CMAES:
     def set_state(self, st: dict) -> None:
         import json
 
-        assert bool(st["diag"]) == self.diag, \
-            "checkpoint covariance model (diag/full) mismatches config"
+        if bool(st["diag"]) != self.diag:
+            # not an assert: must survive `python -O`, else a full-model
+            # checkpoint silently assigns mismatched-shape C/D into sep-CMA
+            raise ValueError(
+                "checkpoint covariance model "
+                f"({'diag' if bool(st['diag']) else 'full'}) mismatches this "
+                f"instance ({'diag' if self.diag else 'full'})")
         self.mean = np.asarray(st["mean"], np.float64)
         self.sigma = float(st["sigma"])
         self.pc = np.asarray(st["pc"], np.float64)

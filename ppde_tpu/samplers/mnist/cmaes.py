@@ -9,6 +9,7 @@ n_chains//popsize generations of candidates. Fixes the reference's stale
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -30,7 +31,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         min_pos: int = 0, max_pos: int = 784, oracle=None,
         cfg: MNISTCMAESConfig | None = None, key: jax.Array | None = None,
         log_every: int = 50, quiet: bool = False,
-        seed: int = 0) -> base.SamplerResult:
+        seed: int = 0, checkpoint_dir: str | None = None) -> base.SamplerResult:
     cfg = cfg or MNISTCMAESConfig()
     pop = np.asarray(initial_population)
     n_chains = pop.shape[0]
@@ -60,17 +61,57 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
     energy_history = [np.asarray(e0)]
     fitness_history = [np.asarray(fit0)]
     oracle_history = []
+    # only the trailing t generations ever feed the population — keeping
+    # just those bounds host memory (20k iters of [16, 784] floats would
+    # otherwise accumulate ~1 GB) and keeps checkpoints small
     gens: list[np.ndarray] = []   # per-generation candidate images
     gen_es: list[np.ndarray] = []
     t = max(1, n_chains // cfg.population_size)
+    start_step = 0
+
+    # -- host-side checkpoint/resume, matching samplers/protein/cmaes.py
+    # (framework contract: every sampler in both domains honors
+    # checkpoint_dir; bit-exact resume is tested) --
+    ck_path = (os.path.join(checkpoint_dir, "cmaes_state.npz")
+               if checkpoint_dir else None)
+    if ck_path and os.path.exists(ck_path):
+        z = np.load(ck_path, allow_pickle=False)
+        es.set_state({k[3:]: z[k] for k in z.files if k.startswith("es_")})
+        start_step = int(z["step"])
+        gens = list(z["gens"]) if z["gens"].size else []
+        gen_es = list(z["gen_es"]) if z["gen_es"].size else []
+        energy_history = list(z["energy_history"])
+        fitness_history = list(z["fitness_history"])
+        oracle_history = list(z["oracle_history"]) if z["oracle_history"].size \
+            else []
+        if not quiet:
+            print(f"[resume] CMA-ES at generation {start_step} from "
+                  f"{ck_path}", flush=True)
+
+    def save_ckpt(step):
+        if not ck_path:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = ck_path + ".tmp.npz"
+        np.savez(tmp, step=np.int64(step),
+                 gens=(np.stack(gens, 0) if gens else np.zeros((0,))),
+                 gen_es=(np.stack(gen_es, 0) if gen_es else np.zeros((0,))),
+                 energy_history=np.stack(energy_history, 0),
+                 fitness_history=np.stack(fitness_history, 0),
+                 oracle_history=(np.stack(oracle_history, 0)
+                                 if oracle_history else np.zeros((0,))),
+                 **{"es_" + k: v for k, v in es.get_state().items()})
+        os.replace(tmp, ck_path)
 
     t0 = time.perf_counter()
-    for step in range(num_steps):
+    for step in range(start_step, num_steps):
         X = es.ask()
         e, fit, imgs = batch_energy(eparams, jnp.asarray(X, jnp.float32))
         es.tell(X, -np.asarray(e))
-        gens.append(np.asarray(imgs))
-        gen_es.append(np.asarray(e))
+        gens = gens[-(t - 1):] + [np.asarray(imgs)] if t > 1 \
+            else [np.asarray(imgs)]
+        gen_es = gen_es[-(t - 1):] + [np.asarray(e)] if t > 1 \
+            else [np.asarray(e)]
 
         if step > 0 and (step + 1) % log_every == 0:
             new_pop = np.concatenate(gens[-t:], 0)[:n_chains]
@@ -84,6 +125,7 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
             if oracle is not None:
                 oracle_history.append(
                     np.asarray(oracle[1](oracle[0], new_pop_j, x1b)))
+            save_ckpt(step + 1)
             if not quiet:
                 print(f"[CMAES iter {step}] energy mean "
                       f"{energy_history[-1].mean():.3f}", flush=True)

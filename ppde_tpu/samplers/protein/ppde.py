@@ -206,10 +206,14 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         new_fit = jnp.where(accepted, fit_prop, fit_cur)
         new_grad = jnp.where(acc3, grad_y, grad_x)
         if cfg.paper_results:
-            # rejection resets to WT in legacy mode: carry WT constants
-            new_grad = jnp.where(acc3, grad_y, ctx["wt_grad"][None])
-            new_e = jnp.where(accepted, e_prop, ctx["wt_e"])
-            new_fit = jnp.where(accepted, fit_prop, ctx["wt_fit"])
+            # rejection resets to the PER-CHAIN initial state in legacy mode
+            # (reference :148-153 resets to initial_population); carry the
+            # matching per-chain init constants so the carried (e, fit, grad)
+            # always agrees with the actual chain state even when the initial
+            # population is heterogeneous
+            new_grad = jnp.where(acc3, grad_y, ctx["init_grad"])
+            new_e = jnp.where(accepted, e_prop, ctx["init_e"])
+            new_fit = jnp.where(accepted, fit_prop, ctx["init_fit"])
             # NB: recorded history keeps reference semantics (pre-reset
             # energies carry, :141) — done below via rec_e/rec_fit
             rec_e = jnp.where(accepted, e_prop, e_cur)
@@ -263,8 +267,11 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         oracle_fn = lambda c, s: oracle[1](c["oracle"], s[0])
 
     e0, fit0, grad0 = jax.jit(energy.energy_and_grad)(ctx["energy"], x0)
-    # precomputed wild-type constants for the carried-state resets
+    # precomputed wild-type constants for the carried-state nmut resets
     ctx["wt_e"], ctx["wt_fit"], ctx["wt_grad"] = e0[0], fit0[0], grad0[0]
+    if cfg.paper_results:
+        # per-chain init constants for the legacy rejection fallback
+        ctx["init_e"], ctx["init_fit"], ctx["init_grad"] = e0, fit0, grad0
     best0 = (e0, fit0, x0)
     step = make_step(energy, cfg, window_ok, n, L, V)
 

@@ -101,28 +101,33 @@ def get_sampler_runner(args):
     from ppde_tpu.samplers.mnist import cmaes, mala_approx, ppde, sa
 
     key = jax.random.PRNGKey(args.seed)
+    ck = getattr(args, "checkpoint_dir", None) or None
     if args.sampler == "PPDE":
         abbrv = (f"PPDE-PAS-{args.ppde_pas_length}" if args.ppde_pas_length > 0
                  else f"PPDE-GWG-{args.ppde_gwg_samples}")
         cfg = ppde.MNISTPPDEConfig(pas_length=args.ppde_pas_length,
                                    gwg_samples=args.ppde_gwg_samples)
-        return (lambda **kw: ppde.run(cfg=cfg, key=key, **kw)), abbrv
+        return (lambda **kw: ppde.run(cfg=cfg, key=key, checkpoint_dir=ck,
+                                      **kw)), abbrv
     if args.sampler == "simulated_annealing":
         cfg = sa.MNISTSAConfig(temp=args.simulated_annealing_temp,
                                muts_per_seq_param=args.muts_per_seq_param,
                                decay_rate=args.decay_rate)
-        return (lambda **kw: sa.run(cfg=cfg, key=key, **kw)), "SA"
+        return (lambda **kw: sa.run(cfg=cfg, key=key, checkpoint_dir=ck,
+                                    **kw)), "SA"
     if args.sampler == "MALA-approx":
         cfg = mala_approx.MNISTMALAConfig(
             step_size=args.diffusion_step_size,
             relaxation_tau=args.diffusion_relaxation_tau)
-        return (lambda **kw: mala_approx.run(cfg=cfg, key=key, **kw)), \
+        return (lambda **kw: mala_approx.run(cfg=cfg, key=key,
+                                             checkpoint_dir=ck, **kw)), \
             "MALA-approx"
     if args.sampler == "CMAES":
         cfg = cmaes.MNISTCMAESConfig(
             population_size=args.cmaes_population_size,
             initial_variance=args.cmaes_initial_variance)
-        return (lambda **kw: cmaes.run(cfg=cfg, seed=args.seed, **kw)), "CMAES"
+        return (lambda **kw: cmaes.run(cfg=cfg, seed=args.seed,
+                                       checkpoint_dir=ck, **kw)), "CMAES"
     raise ValueError(args.sampler)
 
 
@@ -199,6 +204,9 @@ def build_parser():
     g.add_argument("--log_every", type=int, default=50)
     g.add_argument("--sampler", type=str, default="simulated_annealing")
     g.add_argument("--suffix", type=str, default="")
+    g.add_argument("--checkpoint_dir", type=str, default="",
+                   help="persist sampler state here and auto-resume "
+                        "(capability absent from the reference)")
     g.add_argument("--metrics", type=str, default="gif+plots+viz+csv")
     g.add_argument("--gif_frames", type=int, default=200)
 

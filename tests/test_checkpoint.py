@@ -60,6 +60,33 @@ def test_checkpoint_roundtrip_structures(tmp_path):
     np.testing.assert_array_equal(rec["energy"], np.ones((3, 2)))
 
 
+def test_load_rejects_config_mismatch(tmp_path):
+    """A changed run config with the SAME leaf count must fail at load time
+    with an error naming the offending leaf — not later inside jit."""
+    import pytest
+
+    from ppde_tpu import checkpoint as ckpt
+
+    state = {"a": jnp.arange(4.0), "b": jnp.zeros((2, 3))}
+    ckpt.save(str(tmp_path), state, jax.random.PRNGKey(0), 5, None)
+
+    # same leaf count, different shape on 'b'
+    with pytest.raises(ValueError, match=r"\['b'\].*shape"):
+        ckpt.load(str(tmp_path), {"a": jnp.arange(4.0),
+                                  "b": jnp.zeros((3, 3))})
+    # same shapes, different dtype on 'a'
+    with pytest.raises(ValueError, match=r"\['a'\].*dtype"):
+        ckpt.load(str(tmp_path), {"a": jnp.arange(4),
+                                  "b": jnp.zeros((2, 3))})
+    # different leaf count
+    with pytest.raises(ValueError, match="leaves"):
+        ckpt.load(str(tmp_path), {"a": jnp.arange(4.0)})
+    # matching config still loads
+    s2, _, done, _ = ckpt.load(str(tmp_path), state)
+    assert done == 5
+    np.testing.assert_array_equal(np.asarray(s2["b"]), np.zeros((2, 3)))
+
+
 def test_segmented_runner_records_shapes():
     """run_segmented plumbing: records concat across segments, oracle at
     boundaries, steps_per_sec present."""

@@ -84,9 +84,11 @@ def test_augmented_source_loader_and_pairs_refusal():
     assert imgs.shape == (8192, 784)
     assert labels.min() >= 0
     assert labels.max() < len(dmnist.SEED_IMAGE_STEMS)
-    # train and val splits differ (different augmentation streams)
-    val, _ = dmnist.load_raw_mnist("augmented:data/mnist", "val")
+    # the val split augments the HELD-OUT validation digits, never the
+    # training seed digits (genuine early-stopping signal)
+    val, val_src = dmnist.load_raw_mnist("augmented:data/mnist", "val")
     assert val.shape[0] == 1024
+    assert val_src.max() < len(dmnist.HELDOUT_IMAGE_STEMS)
     assert np.abs(imgs[: len(val)] - val).max() > 0.1
     with np.testing.assert_raises(ValueError):
         dmnist.MNISTSumPairs("augmented:data/mnist", None, "train")

@@ -90,6 +90,27 @@ def test_cmaes_run(setup):
     assert np.all(np.diff(res.best_energy) <= 1e-6)
 
 
+def test_cmaes_resume_is_bit_exact(setup, tmp_path):
+    """MNIST CMA-ES honors checkpoint_dir with bit-exact host-state resume
+    (framework contract parity with samplers/protein/cmaes.py)."""
+    en, oracle, pop = setup
+    kw = dict(oracle=oracle, cfg=cmaes.MNISTCMAESConfig(population_size=6),
+              log_every=6, quiet=True, seed=7)
+    ref = cmaes.run(en, pop, 18, **kw)
+
+    ck = str(tmp_path / "ck")
+    cmaes.run(en, pop, 12, checkpoint_dir=ck, **kw)
+    import os
+    assert os.path.exists(os.path.join(ck, "cmaes_state.npz"))
+    resumed = cmaes.run(en, pop, 18, checkpoint_dir=ck, **kw)
+
+    np.testing.assert_array_equal(resumed.final_x, ref.final_x)
+    np.testing.assert_array_equal(resumed.energy_history, ref.energy_history)
+    np.testing.assert_array_equal(resumed.fitness_history, ref.fitness_history)
+    np.testing.assert_array_equal(resumed.oracle_history, ref.oracle_history)
+    np.testing.assert_array_equal(resumed.best_x, ref.best_x)
+
+
 def test_gwg_boltzmann_stationarity():
     """Gold test: single-flip GWG must sample the exact Boltzmann
     distribution of a tiny quadratic binary energy (detailed balance of the

@@ -100,6 +100,46 @@ def test_paper_mode_resets_to_wt():
     np.testing.assert_array_equal(res.final_x.sum(-1), 1.0)
 
 
+def test_paper_mode_carried_state_consistent_with_heterogeneous_init():
+    """In paper_results mode a rejected chain resets to its PER-CHAIN
+    initial state; the carried (e, fit, grad) must track the actual chain
+    state even when the initial population is heterogeneous (it used to
+    fall back to the wild-type constants of chain 0)."""
+    en, oracle, pop, pp = make_setup()
+    n, L, V = pop.shape
+    # heterogeneous init: mutate a window position of every chain but 0
+    pop_np = np.asarray(pop).copy()
+    rng = np.random.default_rng(0)
+    for i in range(1, n):
+        p = rng.integers(2, 18)
+        pop_np[i, p] = 0.0
+        pop_np[i, p, rng.integers(0, V)] = 1.0
+    x0 = jnp.asarray(pop_np)
+
+    cfg = ppde.PPDEConfig(pas_length=2, paper_results=True)
+    window_ok = utils.position_window_mask(L, V, 2, 17)
+    e0, fit0, grad0 = jax.jit(en.energy_and_grad)(en.params, x0)
+    ctx = {"energy": en.params, "wt": x0[0], "init_x": x0,
+           "wt_e": e0[0], "wt_fit": fit0[0], "wt_grad": grad0[0],
+           "init_e": e0, "init_fit": fit0, "init_grad": grad0}
+    step = jax.jit(ppde.make_step(en, cfg, window_ok, n, L, V))
+
+    state = (x0, (e0, fit0, grad0), (e0, fit0, x0))
+    saw_reject = False
+    for i in range(12):
+        state, ys = step(ctx, state, jax.random.PRNGKey(100 + i))
+        x, (e, fit, g), _ = state
+        saw_reject |= not bool(np.all(np.asarray(ys["accepted"])))
+        e_chk, fit_chk, g_chk = jax.jit(en.energy_and_grad)(en.params, x)
+        np.testing.assert_allclose(np.asarray(e), np.asarray(e_chk),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_chk),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_chk),
+                                   rtol=1e-5, atol=1e-5)
+    assert saw_reject  # the invariant was actually exercised on rejection
+
+
 def test_deterministic_given_key():
     res1, _, _ = run_short(pas_length=2)
     res2, _, _ = run_short(pas_length=2)

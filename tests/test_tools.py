@@ -1,0 +1,66 @@
+"""tools/tpu_run.sh behavior: real failures surface immediately with the
+real exit code; only TPU claim/tunnel signatures are retried."""
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "tools", "tpu_run.sh")
+# keep the child off the TPU tunnel and fast
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+       "TPU_RUN_RETRY_DELAY": "0"}
+
+
+def run(pyfile):
+    t0 = time.perf_counter()
+    p = subprocess.run(["bash", SCRIPT, pyfile], env=ENV,
+                       capture_output=True, text=True, timeout=120)
+    return p, time.perf_counter() - t0
+
+
+def test_deterministic_crash_is_not_retried(tmp_path):
+    f = tmp_path / "crash.py"
+    f.write_text("raise ValueError('deliberate crash')\n")
+    p, dt = run(str(f))
+    assert p.returncode == 1
+    assert "deliberate crash" in p.stdout + p.stderr
+    assert "not retrying" in p.stderr
+    assert "retrying" not in p.stdout  # no retry loop
+    assert dt < 30  # no 5x15s retry sleep
+
+
+def test_nonzero_exit_code_is_preserved(tmp_path):
+    f = tmp_path / "exit3.py"
+    f.write_text("import sys; sys.exit(3)\n")
+    p, _ = run(str(f))
+    assert p.returncode == 3
+
+
+def test_claim_signature_is_retried(tmp_path):
+    # a script that fails with a claim-race signature twice, then succeeds
+    marker = tmp_path / "attempts"
+    f = tmp_path / "claimy.py"
+    f.write_text(
+        "import os, sys\n"
+        f"m = {str(marker)!r}\n"
+        "n = int(open(m).read()) if os.path.exists(m) else 0\n"
+        "open(m, 'w').write(str(n + 1))\n"
+        "if n < 2:\n"
+        "    sys.stderr.write('RuntimeError: axon_ifrt_start_interposer: "
+        "claim timed out\\n')\n"
+        "    sys.exit(1)\n"
+        "print('made it')\n")
+    p, _ = run(str(f))
+    assert p.returncode == 0
+    assert "made it" in p.stdout
+    assert marker.read_text() == "3"
+    assert p.stderr.count("retrying") == 2
+
+
+def test_success_passes_through(tmp_path):
+    f = tmp_path / "ok.py"
+    f.write_text("print('hello from tpu_run')\n")
+    p, _ = run(str(f))
+    assert p.returncode == 0
+    assert "hello from tpu_run" in p.stdout
