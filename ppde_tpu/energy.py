@@ -61,7 +61,7 @@ def _vjp_sum(f, x):
 # ---------------------------------------------------------------------------
 
 def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False,
-                  cnn_chunk=None):
+                  cnn_chunk=None, pool_bwd="split"):
     """Supervised CNN (fitness, d mean-fitness/dx): fused Pallas kernel or
     the XLA VJP path. The fused kernel (ops/cnn_pallas.py) keeps all
     ensemble activations VMEM-resident: 0.29 ms vs 0.60 ms for the XLA VJP
@@ -75,10 +75,11 @@ def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False,
         if fused_cnn:
             return cnn_pallas.ensemble_apply_and_grad(
                 p["sup"], xc, compute_dtype=compute_dtype or jnp.bfloat16,
-                interpret=interpret)
+                interpret=interpret, pool_bwd=pool_bwd)
         return _vjp_sum(
             lambda v: cnn.ensemble_apply(p["sup"], v,
-                                         compute_dtype=compute_dtype), xc)
+                                         compute_dtype=compute_dtype,
+                                         pool_bwd=pool_bwd), xc)
 
     n = x.shape[0]
     if not cnn_chunk or n <= cnn_chunk or n % cnn_chunk:
@@ -93,7 +94,8 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
                 chunk_size: int | None = None,
                 compute_dtype=None, fused_cnn: bool = False,
                 interpret: bool = False,
-                cnn_chunk: int | None = None) -> Energy:
+                cnn_chunk: int | None = None,
+                pool_bwd: str = "split") -> Energy:
     """E(x) = unsup_delta(x) + lam * fitness(x) over [N, L_full, V] one-hots.
 
     ``transformer``: optional (params, apply_fn) pair adding an ESM2
@@ -141,7 +143,7 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
 
     def energy_and_grad(p, x):
         fit, fit_grad = _fit_and_grad(p, x, compute_dtype, fused_cnn,
-                                      interpret, cnn_chunk)
+                                      interpret, cnn_chunk, pool_bwd)
         e = lam * fit
         grad = lam * fit_grad
         if "potts" in p:
@@ -162,7 +164,8 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
 def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None,
                        fused_cnn: bool = False,
                        interpret: bool = False,
-                       cnn_chunk: int | None = None) -> Energy:
+                       cnn_chunk: int | None = None,
+                       pool_bwd: str = "split") -> Energy:
     """Supervised-only ablation: E(x) = fitness(x) (energy.py:143-164)."""
     params = {"sup": sup_ensemble}
 
@@ -175,7 +178,7 @@ def protein_supervised(sup_ensemble, wt_onehot, compute_dtype=None,
 
     def energy_and_grad(p, x):
         fit, g = _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret,
-                               cnn_chunk)
+                               cnn_chunk, pool_bwd)
         return fit, fit, g
 
     return Energy(params=params, energy=energy,

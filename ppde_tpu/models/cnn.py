@@ -24,16 +24,39 @@ def init(key, n_tokens: int = 20, kernel_size: int = 5, input_size: int = 96,
     }
 
 
-def apply(params, x: jnp.ndarray) -> jnp.ndarray:
+@jax.custom_vjp
+def max_pool_first(h: jnp.ndarray) -> jnp.ndarray:
+    """max over axis 1 whose backward routes ALL gradient to the FIRST
+    argmax row — the semantics of torch.max(x, dim=1) (its backward writes
+    to the single returned index; reference nets.py:372). JAX's jnp.max VJP
+    splits equally across ties instead; the two differ only on exact ties.
+    """
+    return jnp.max(h, axis=1)
+
+
+def _mpf_fwd(h):
+    return jnp.max(h, axis=1), (jnp.argmax(h, axis=1), h.shape[1])
+
+
+def _mpf_bwd(res, g):
+    idx, T = res
+    sel = jax.nn.one_hot(idx, T, axis=1, dtype=g.dtype)  # iota compare
+    return (sel * g[:, None, :],)
+
+
+max_pool_first.defvjp(_mpf_fwd, _mpf_bwd)
+
+
+def apply(params, x: jnp.ndarray, pool_bwd: str = "split") -> jnp.ndarray:
     """x [B, L, V] one-hot (or relaxed) -> fitness [B]."""
     h = jax.nn.relu(layers.conv1d(params["encoder"], x))
     h = jax.nn.relu(layers.linear(params["embed"], h))
-    h = jnp.max(h, axis=1)
+    h = max_pool_first(h) if pool_bwd == "first" else jnp.max(h, axis=1)
     return layers.linear(params["decoder"], h)[:, 0]
 
 
 def ensemble_apply(stacked_params, x: jnp.ndarray,
-                   compute_dtype=None) -> jnp.ndarray:
+                   compute_dtype=None, pool_bwd: str = "split") -> jnp.ndarray:
     """Mean prediction of a stacked ensemble; x [B, L, V] -> [B].
 
     compute_dtype: optional lower-precision cast (e.g. bf16) for the conv and
@@ -44,7 +67,7 @@ def ensemble_apply(stacked_params, x: jnp.ndarray,
         stacked_params = jax.tree.map(lambda a: a.astype(compute_dtype),
                                       stacked_params)
         x = x.astype(compute_dtype)
-    preds = jax.vmap(apply, in_axes=(0, None))(stacked_params, x)
+    preds = jax.vmap(lambda p: apply(p, x, pool_bwd))(stacked_params)
     return jnp.mean(preds.astype(jnp.float32), axis=0)
 
 

@@ -31,6 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppde_tpu import codec
+from ppde_tpu.ops import attention_pallas
+
+# Attention backend: None = auto (VMEM-resident flash kernel on TPU, XLA
+# einsums elsewhere). The XLA path materializes [B*H, T, T] scores in HBM
+# three times per layer — measured 75% of ESM2-S forward time at B=128
+# (PERF.md); the kernel keeps scores in VMEM. Set to "xla" to force the
+# einsum path, "flash" to force the kernel (tests use interpret=True
+# through attention_pallas directly).
+ATTENTION_IMPL: str | None = None
 
 # Canonical ESM alphabet (fair-esm proteinseq_toks + specials), index order.
 ESM_TOKS = [
@@ -158,9 +167,15 @@ def _attention(p, x, heads):
     q = q.reshape(B * heads, T, hd)
     k = k.reshape(B * heads, T, hd)
     v = v.reshape(B * heads, T, hd)
-    scores = jnp.einsum("zqd,zkd->zqk", q, k)
-    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("zqk,zkd->zqd", w, v)
+    impl = ATTENTION_IMPL or ("flash" if jax.default_backend() == "tpu"
+                              else "xla")
+    if impl == "flash":
+        out = attention_pallas.flash_attention(q, k, v)
+    else:
+        scores = jnp.einsum("zqd,zkd->zqk", q, k)
+        w = jax.nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(x.dtype)
+        out = jnp.einsum("zqk,zkd->zqd", w, v)
     out = out.reshape(B, heads, T, hd).transpose(0, 2, 1, 3).reshape(B, T, D)
     return out @ p["o"]["w"] + p["o"]["b"]
 

@@ -57,9 +57,32 @@ def col2im(dP: jnp.ndarray, L: int) -> jnp.ndarray:
     return dx
 
 
+def _pool_bwd_mask(Hm, mxf, cdt, pool_bwd: str):
+    """0/1 routing mask [bt, Tp, C2] for the max-pool backward.
+
+    'split': JAX's equal-split-on-ties convention (grad / tie count).
+    'first': ALL gradient to the first max row — matches torch.max(x, dim)
+    whose backward routes to the single returned argmax index
+    (reference nets.py:372), so this is the reference-faithful mode. Saves
+    the tie-count reduction + division; costs an iota min/compare instead.
+    """
+    f32 = jnp.float32
+    ties = Hm.astype(f32) == mxf[:, None, :]
+    if pool_bwd == "split":
+        routing = ties.astype(cdt)
+        counts = jnp.sum(ties.astype(f32), axis=1)           # [bt, C2]
+        return routing, counts
+    # first-argmax: smallest row index among the tied maxima
+    Tp = Hm.shape[1]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, Hm.shape, 1)
+    idx = jnp.min(jnp.where(ties, iota_t, Tp), axis=1)       # [bt, C2]
+    routing = (iota_t == idx[:, None, :]).astype(cdt)
+    return routing, None
+
+
 def _kernel(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
             embb_ref, decw_ref, decb_ref, fit_ref, dP_ref,
-            *, n_members: int, t_real: int):
+            *, n_members: int, t_real: int, pool_bwd: str = "split"):
     """grid = (B // bt,); members unrolled; activations VMEM-resident."""
     bt, Tp, KV = P_ref.shape
     C = encw_ref.shape[-1]
@@ -91,14 +114,14 @@ def _kernel(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
         fit = jnp.sum(mxf * dec_row, axis=-1, keepdims=True)  # [bt, 1]
         acc_fit += (fit + decb_ref[m]) * inv_m
 
-        # backward (input gradient only): max splits grad equally on ties.
-        # relu' on H2 folds into the per-(sample,channel) scale: tied rows
+        # backward (input gradient only): routing per _pool_bwd_mask.
+        # relu' on H2 folds into the per-(sample,channel) scale: routed rows
         # have Hm == mx, so they pass relu' iff mx > 0.
-        ties = (Hm.astype(f32) == mxf[:, None, :]).astype(cdt)  # 0/1 mask
-        counts = jnp.sum(ties.astype(f32), axis=1)            # [bt, C2]
-        scale = jnp.where(mxf > 0.0, dec_row / counts,
+        routing, counts = _pool_bwd_mask(Hm, mxf, cdt, pool_bwd)
+        scale = jnp.where(mxf > 0.0,
+                          dec_row / counts if counts is not None else dec_row,
                           0.0).astype(cdt)                    # [bt, C2]
-        G2 = (ties * scale[:, None, :]).reshape(bt * Tp, C2)
+        G2 = (routing * scale[:, None, :]).reshape(bt * Tp, C2)
         G1 = jnp.dot(G2, embwT_ref[m], preferred_element_type=f32)
         G1 = jnp.where(H1.astype(f32) > 0.0, G1,
                        0.0).astype(cdt)                       # relu'
@@ -111,10 +134,11 @@ def _kernel(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("t_real", "batch_tile",
-                                              "interpret"))
+                                              "interpret", "pool_bwd"))
 def ensemble_fit_and_patch_grad(P, enc_w, enc_b, emb_w, emb_b, dec_w, dec_b,
                                 t_real: int, batch_tile: int = 8,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                pool_bwd: str = "split"):
     """(fit [B], dP [B, Tp, K*V]) for sublane-padded patches P [B, Tp, K*V]
     and stacked member weights (leading dim M; dec_w as rows [M, 1, C2]).
     Rows >= t_real are masked out of the pool; their dP rows are exact
@@ -125,7 +149,8 @@ def ensemble_fit_and_patch_grad(P, enc_w, enc_b, emb_w, emb_b, dec_w, dec_b,
     C2 = emb_w.shape[-1]
     bt = min(batch_tile, B)
 
-    kern = functools.partial(_kernel, n_members=M, t_real=t_real)
+    kern = functools.partial(_kernel, n_members=M, t_real=t_real,
+                             pool_bwd=pool_bwd)
     fit, dP = pl.pallas_call(
         kern,
         grid=(B // bt,),
@@ -172,7 +197,7 @@ def ensemble_fit_and_patch_grad(P, enc_w, enc_b, emb_w, emb_b, dec_w, dec_b,
 
 def _kernel_m(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
               embb_ref, decw_ref, decb_ref, fit_ref, dP_ref,
-              *, n_members: int, t_real: int):
+              *, n_members: int, t_real: int, pool_bwd: str = "split"):
     """Member-axis grid variant: grid = (B // bt, M), m innermost. Only ONE
     member's weights + activations are VMEM-resident per grid step (~1/M
     the scoped VMEM of the unrolled kernel, admitting larger batch tiles);
@@ -199,10 +224,11 @@ def _kernel_m(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
     dec_row = decw_ref[0].astype(f32)
     fit = jnp.sum(mxf * dec_row, axis=-1, keepdims=True)
 
-    ties = (Hm.astype(f32) == mxf[:, None, :]).astype(cdt)
-    counts = jnp.sum(ties.astype(f32), axis=1)
-    scale = jnp.where(mxf > 0.0, dec_row / counts, 0.0).astype(cdt)
-    G2 = (ties * scale[:, None, :]).reshape(bt * Tp, C2)
+    routing, counts = _pool_bwd_mask(Hm, mxf, cdt, pool_bwd)
+    scale = jnp.where(mxf > 0.0,
+                      dec_row / counts if counts is not None else dec_row,
+                      0.0).astype(cdt)
+    G2 = (routing * scale[:, None, :]).reshape(bt * Tp, C2)
     G1 = jnp.dot(G2, embwT_ref[0], preferred_element_type=f32)
     G1 = jnp.where(H1.astype(f32) > 0.0, G1, 0.0).astype(cdt)
     dP = inv_m * jnp.dot(G1, encwT_ref[0], preferred_element_type=f32)
@@ -217,17 +243,19 @@ def _kernel_m(P_ref, encw_ref, encwT_ref, encb_ref, embw_ref, embwT_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("t_real", "batch_tile",
-                                              "interpret"))
+                                              "interpret", "pool_bwd"))
 def ensemble_fit_and_patch_grad_m(P, enc_w, enc_b, emb_w, emb_b, dec_w,
                                   dec_b, t_real: int, batch_tile: int = 16,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  pool_bwd: str = "split"):
     """Member-grid twin of ensemble_fit_and_patch_grad (same contract)."""
     B, Tp, KV = P.shape
     M, _, C = enc_w.shape
     C2 = emb_w.shape[-1]
     bt = min(batch_tile, B)
 
-    kern = functools.partial(_kernel_m, n_members=M, t_real=t_real)
+    kern = functools.partial(_kernel_m, n_members=M, t_real=t_real,
+                             pool_bwd=pool_bwd)
     fit, dP = pl.pallas_call(
         kern,
         grid=(B // bt, M),
@@ -281,7 +309,8 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
                             batch_tile: int = 8,
                             interpret: bool = False,
                             sublane: int = 16,
-                            member_grid: bool = False):
+                            member_grid: bool = False,
+                            pool_bwd: str = "split"):
     """(fitness [B], d mean-fitness / dx [B, L, V]) — fused Pallas path.
 
     stacked_params: the cnn.init_ensemble / torch_convert layout
@@ -319,6 +348,7 @@ def ensemble_apply_and_grad(stacked_params, x: jnp.ndarray,
         stacked_params["embed"]["b"].astype(jnp.float32).reshape(M, 1, -1),
         dec_w.reshape(M, 1, -1),
         stacked_params["decoder"]["b"].astype(jnp.float32).reshape(M, 1, 1),
-        t_real=T, batch_tile=batch_tile, interpret=interpret)
+        t_real=T, batch_tile=batch_tile, interpret=interpret,
+        pool_bwd=pool_bwd)
     dx = col2im(dP[:B, :T], L)
     return fit[:B], dx

@@ -77,6 +77,49 @@ def test_fused_bf16_close(setup):
     assert cos > 0.99
 
 
+def test_first_argmax_pool_backward(setup):
+    """pool_bwd='first' (torch.max semantics, reference nets.py:372): the
+    kernel matches the XLA custom-VJP path exactly, equals 'split' on
+    tie-free inputs, and routes ALL gradient to the first max row on a
+    constructed tie."""
+    ens, x = setup
+    # XLA path with first-argmax pooling
+    fit_ref, vjp = jax.vjp(
+        lambda v: cnn.ensemble_apply(ens, v, pool_bwd="first"), x)
+    (gx_ref,) = vjp(jnp.ones_like(fit_ref))
+    fit, gx = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True,
+        pool_bwd="first")
+    np.testing.assert_allclose(np.asarray(fit), np.asarray(fit_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+    # random f32 activations are tie-free: 'first' == 'split'
+    _, gx_split = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True,
+        pool_bwd="split")
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_split),
+                               rtol=1e-4, atol=1e-5)
+    # member-grid kernel honors the mode too
+    _, gx_m = cnn_pallas.ensemble_apply_and_grad(
+        ens, x, compute_dtype=jnp.float32, batch_tile=16, interpret=True,
+        member_grid=True, pool_bwd="first")
+    np.testing.assert_allclose(np.asarray(gx_m), np.asarray(gx_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_max_pool_first_tie_routing():
+    """On an exact tie max_pool_first sends the whole gradient to the FIRST
+    max row; jnp.max's VJP splits it."""
+    h = jnp.asarray([[1.0, 2.0], [3.0, 2.0], [3.0, 1.0]])[None]  # [1, 3, 2]
+    g_first = jax.grad(lambda v: jnp.sum(cnn.max_pool_first(v)))(h)
+    np.testing.assert_array_equal(
+        np.asarray(g_first[0]), [[0.0, 1.0], [1.0, 0.0], [0.0, 0.0]])
+    g_split = jax.grad(lambda v: jnp.sum(jnp.max(v, axis=1)))(h)
+    np.testing.assert_array_equal(
+        np.asarray(g_split[0]), [[0.0, 0.5], [0.5, 0.5], [0.5, 0.0]])
+
+
 def test_real_checkpoint_weights(setup):
     """Kernel works on the converted reference checkpoints too."""
     import os
