@@ -33,12 +33,14 @@ import numpy as np
 from ppde_tpu import codec
 from ppde_tpu.ops import attention_pallas
 
-# Attention backend: None = auto (VMEM-resident flash kernel on TPU, XLA
-# einsums elsewhere). The XLA path materializes [B*H, T, T] scores in HBM
-# three times per layer — measured 75% of ESM2-S forward time at B=128
-# (PERF.md); the kernel keeps scores in VMEM. Set to "xla" to force the
-# einsum path, "flash" to force the kernel (tests use interpret=True
-# through attention_pallas directly).
+# Attention backend: None = auto (currently the XLA einsum path — measured
+# round 3: XLA's forward attention emitter is already flash-like at these
+# shapes, and in the production chunked-16 energy the einsum path beats the
+# pallas kernel 30.8 vs 38.9 ms/energy+grad because small-z kernel calls
+# are latency-bound at hd=24). "flash" opts into ops/attention_pallas.py's
+# VMEM-resident kernel — it wins ~7% for MONOLITHIC fwd+bwd at B=128
+# (97.5 vs 105.8 ms) by never materializing [Z,T,T] in the backward.
+# Full measurements in PERF.md.
 ATTENTION_IMPL: str | None = None
 
 # Canonical ESM alphabet (fair-esm proteinseq_toks + specials), index order.
@@ -167,8 +169,7 @@ def _attention(p, x, heads):
     q = q.reshape(B * heads, T, hd)
     k = k.reshape(B * heads, T, hd)
     v = v.reshape(B * heads, T, hd)
-    impl = ATTENTION_IMPL or ("flash" if jax.default_backend() == "tpu"
-                              else "xla")
+    impl = ATTENTION_IMPL or "xla"
     if impl == "flash":
         out = attention_pallas.flash_attention(q, k, v)
     else:
@@ -181,11 +182,19 @@ def _attention(p, x, heads):
 
 
 def forward_logits(params, x_onehot: jnp.ndarray,
-                   heads: int = 20) -> jnp.ndarray:
+                   heads: int = 20, remat: bool = False) -> jnp.ndarray:
     """One-hot [B, T, 33] -> LM logits [B, T, 33] (fp32).
 
     ``heads`` is static — architecture config stays OUT of the params pytree
     so the pytree crosses jit boundaries as pure arrays.
+
+    ``remat``: jax.checkpoint each transformer layer — input gradients then
+    store only layer-boundary residuals (~78 MB/layer at 650M, B=128)
+    instead of every intermediate, trading one recomputed forward. Off by
+    default (measured net-negative for ESM2-S, round 2); REQUIRED to fit
+    the 650M config's monolithic-batch vjp (the memory role the
+    reference's minibatch-8 loop plays, energy.py:77 — but chunking costs
+    4.5x on TPU, PERF.md round 3).
 
     Eval-mode semantics of the esm_one_hot fork: embedding is x @ E (so
     gradients flow to x); token-dropout rescale uses the soft mask weight
@@ -206,12 +215,17 @@ def forward_logits(params, x_onehot: jnp.ndarray,
     # bf16, where the approximation error (~1e-3) is below bf16 resolution
     # and the erf transcendental costs ~10 ms per forward (measured)
     approx_gelu = dtype == jnp.bfloat16
-    for layer in params["layers"]:
+
+    def one_layer(layer, h):
         h = h + _attention(layer, _layer_norm(layer["attn_ln"], h), heads)
         y = _layer_norm(layer["ffn_ln"], h)
         y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
                         approximate=approx_gelu)
-        h = h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
+        return h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
+
+    step = jax.checkpoint(one_layer) if remat else one_layer
+    for layer in params["layers"]:
+        h = step(layer, h)
 
     h = _layer_norm(params["final_ln"], h)
     y = jax.nn.gelu(h @ params["lm_dense"]["w"] + params["lm_dense"]["b"],
@@ -223,17 +237,21 @@ def forward_logits(params, x_onehot: jnp.ndarray,
 
 
 def pseudo_log_likelihood(params, x_onehot: jnp.ndarray,
-                          heads: int = 20) -> jnp.ndarray:
+                          heads: int = 20, remat: bool = False) -> jnp.ndarray:
     """sum_i x_i . log_softmax(logits_i) per sequence (nets.py:221-233)."""
-    logits = forward_logits(params, x_onehot, heads)
+    logits = forward_logits(params, x_onehot, heads, remat)
     lp = jax.nn.log_softmax(logits, -1)
     return jnp.sum(x_onehot.astype(jnp.float32) * lp, axis=(1, 2))
 
 
 def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
-                allow_random: bool = False, dtype=jnp.bfloat16):
+                allow_random: bool = False, dtype=jnp.bfloat16,
+                remat: bool | None = None):
     """Build the unsupervised transformer expert: (params, apply_fn) where
-    apply_fn(params, x_potts_onehot [N,L,20]) -> delta PLL vs wild type."""
+    apply_fn(params, x_potts_onehot [N,L,20]) -> delta PLL vs wild type.
+
+    remat: None = auto (per-layer jax.checkpoint for transformer-L only —
+    required to fit the 650M monolithic-batch vjp; net-negative for S/M)."""
     if weights_path is not None:
         params = load_torch_checkpoint(weights_path, name, dtype)
     elif allow_random:
@@ -244,6 +262,8 @@ def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
             "fair-esm esm2_t*.pt checkpoint (this environment cannot "
             "download them), or --allow_random_esm for smoke testing.")
 
+    if remat is None:
+        remat = name == "transformer-L"
     heads = CONFIGS[name]["heads"]
     perm = jnp.asarray(potts_to_esm_perm(), dtype)
     wt = jnp.asarray(seq_to_esm_onehot(wt_seq))[None]
@@ -252,7 +272,7 @@ def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
 
     def apply_fn(params, x):
         x_esm = x.astype(params["perm"].dtype) @ params["perm"]
-        return (pseudo_log_likelihood(params, x_esm, heads)
+        return (pseudo_log_likelihood(params, x_esm, heads, remat)
                 - params["wt_score"])
 
     return params, apply_fn

@@ -93,11 +93,18 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
                                            cnn_chunk=cnn_chunk)
     else:
         use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
-        chunk = None
-        if args.unsupervised_expert == "transformer-L":
-            chunk = 8
-        elif transformer is not None:
-            chunk = min(args.n_chains, 64)
+        # Transformer chunking, measured honestly at B=128 ESM2-S
+        # (tools/profile_esm.py, round 3 — dependency-threaded probes,
+        # energy+grad ms): unrolled chunk-8 29.1 / chunk-16 30.8 /
+        # chunk-32 37.0 / chunk-64 66.8 / lax.map-64 93.7 (the reference's
+        # minibatch pattern, energy.py:114-130, as a sequential device
+        # loop) / monolithic 99-105. Default 16: within 6% of chunk-8 at
+        # half the unrolled program size (compile time through the remote
+        # tunnel scales with copies). energy.py always unrolls;
+        # --esm_chunk overrides (0 = this default).
+        chunk = getattr(args, "esm_chunk", 0) or None
+        if chunk is None and transformer is not None and args.n_chains > 16:
+            chunk = 16
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
             transformer=transformer, chunk_size=chunk,

@@ -118,7 +118,7 @@ def run_segmented(
             log_fn(0, state, None, oracle_hist[-1] if oracle_hist else None)
 
     t0 = time.perf_counter()
-    t_scan = 0.0
+    seg_times: list[tuple[int, float]] = []  # (length, seconds) per segment
     done = start_steps
     seg_idx = 0
     for length in segment_lengths(num_steps - start_steps, log_every):
@@ -130,7 +130,7 @@ def run_segmented(
         # execute under the remote-TPU tunnel, CLAUDE.md); sub-ms cost,
         # and the records are transferred right after anyway
         float(jnp.sum(ys["energy"][-1]))
-        t_scan += time.perf_counter() - ts
+        seg_times.append((length, time.perf_counter() - ts))
         done += length
         seg_idx += 1
         if oracle_jit is not None:
@@ -156,8 +156,13 @@ def run_segmented(
                          else np.zeros((0,)))
     # pure sampler throughput vs end-to-end wall throughput: quoting the
     # former as "sampler speed" is honest; the latter includes oracle
-    # evals, record transfers and checkpoint saves
-    records["steps_per_sec"] = (done - start_steps) / max(t_scan, 1e-9)
+    # evals, record transfers and checkpoint saves. The FIRST segment pays
+    # the jit compile (minutes through the remote-compile tunnel) — drop it
+    # from the scan-throughput window when warm segments exist.
+    warm = seg_times[1:] if len(seg_times) > 1 else seg_times
+    warm_steps = sum(l for l, _ in warm)
+    warm_time = sum(t for _, t in warm)
+    records["steps_per_sec"] = warm_steps / max(warm_time, 1e-9)
     records["wall_steps_per_sec"] = (done - start_steps) / max(elapsed, 1e-9)
     return state, records
 

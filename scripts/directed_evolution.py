@@ -189,6 +189,10 @@ def build_parser():
     g.add_argument("--cnn_chunk", type=int, default=0,
                    help="chunk the CNN energy over this many chains "
                         "(0 = auto: 128 when n_chains > 256)")
+    g.add_argument("--esm_chunk", type=int, default=0,
+                   help="chunk the transformer energy over this many chains "
+                        "(0 = monolithic; chunking measured 4.5x slower on "
+                        "TPU, use only when memory-constrained — PERF.md)")
     g.add_argument("--mesh_dp", type=int, default=0,
                    help="shard chains over a dp-axis device mesh of this "
                         "size (0 = single device); chains must divide it")

@@ -24,6 +24,21 @@ GFP_WT = (
 )
 
 
+def dep(s, val):
+    """Re-inject ``val`` into the carry WITHOUT changing its value, via a
+    runtime-false predicate XLA cannot fold. CRITICAL: a scan body whose
+    carry does not depend on the measured computation gets hoisted out of
+    the loop by XLA LICM (pure-XLA bodies only — pallas calls and inner
+    while-loops block it), and the probe then times ONE evaluation
+    amortized over the scan length. Discovered round 3: monolithic ESM2
+    probes read 15 ms/iter while the real dependency-chained sampler step
+    paid 92 ms."""
+    import jax.numpy as jnp
+
+    pred = ~jnp.isfinite(val)  # runtime false for finite results
+    return jnp.where(pred, s + 1.0, s)
+
+
 def timeit(name, fn, state, key, iters, reps=3):
     import jax
 
@@ -54,6 +69,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--full-step", action="store_true")
     ap.add_argument("--skip-components", action="store_true")
+    ap.add_argument("--attn-ablation", action="store_true",
+                    help="attribute the attention stack: no-rotary, "
+                         "merged-QKV, no-LN, proj-only variants")
     args = ap.parse_args()
 
     import jax
@@ -84,14 +102,15 @@ def main():
 
         def fwd(s, k):
             pll = esm2.pseudo_log_likelihood(params, s, heads)
-            return s, pll[0]
+            return dep(s, pll[0]), pll[0]
         timeit(f"PLL forward ({impl})", fwd, x_esm, key, args.iters)
 
         def fwdbwd(s, k):
             pll, vjp = jax.vjp(
                 lambda v: esm2.pseudo_log_likelihood(params, v, heads), s)
             (g,) = vjp(jnp.ones_like(pll))
-            return s, pll[0] + g[0, 0, 0].astype(jnp.float32)
+            out = pll[0] + g[0, 0, 0].astype(jnp.float32)
+            return dep(s, out), out
         timeit(f"PLL forward+input-grad ({impl})", fwdbwd, x_esm, key,
                args.iters)
     esm2.ATTENTION_IMPL = None
@@ -108,7 +127,8 @@ def main():
                 h = h + esm2._attention(layer,
                                         esm2._layer_norm(layer["attn_ln"], h),
                                         heads)
-            return s, h[0, 0, 0].astype(jnp.float32)
+            out = h[0, 0, 0].astype(jnp.float32)
+            return dep(s, out), out
         timeit("attention stack only (xla)", attn_stack, h0, key, args.iters)
 
         esm2.ATTENTION_IMPL = "flash"
@@ -123,7 +143,8 @@ def main():
                 y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
                                 approximate=True)
                 h = h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
-            return s, h[0, 0, 0].astype(jnp.float32)
+            out = h[0, 0, 0].astype(jnp.float32)
+            return dep(s, out), out
         timeit("FFN stack only", ffn_stack, h0, key, args.iters)
 
         def lm_head(s, k):
@@ -133,8 +154,66 @@ def main():
             y = esm2._layer_norm(params["lm_ln"], y)
             logits = jnp.einsum("btd,vd->btv", y.astype(jnp.float32),
                                 params["embed"].astype(jnp.float32))
-            return s, logits[0, 0, 0]
+            return dep(s, logits[0, 0, 0]), logits[0, 0, 0]
         timeit("LM head only", lm_head, h0, key, args.iters)
+
+    if args.attn_ablation:
+        import math as _math
+
+        esm2.ATTENTION_IMPL = "flash"
+        D = esm2.CONFIGS[args.name]["dim"]
+        hd = D // heads
+        h0 = (x_esm @ params["embed"])
+        from ppde_tpu.ops import attention_pallas as ap_mod
+
+        def attn_variant(rotary=True, merged=False, ln=True, core=True):
+            def stack(s, k):
+                h = s
+                for p in params["layers"]:
+                    x = esm2._layer_norm(p["attn_ln"], h) if ln else h
+                    B_, T_, D_ = x.shape
+                    if merged:
+                        wqkv = jnp.concatenate(
+                            [p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
+                        bqkv = jnp.concatenate(
+                            [p["q"]["b"], p["k"]["b"], p["v"]["b"]])
+                        qkv = (x @ wqkv + bqkv).reshape(
+                            B_, T_, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+                        q = qkv[0] * (1.0 / _math.sqrt(hd))
+                        kk, v = qkv[1], qkv[2]
+                    else:
+                        def proj(pp, vv):
+                            return (vv @ pp["w"] + pp["b"]).reshape(
+                                B_, T_, heads, hd).transpose(0, 2, 1, 3)
+                        q = proj(p["q"], x) * (1.0 / _math.sqrt(hd))
+                        kk = proj(p["k"], x)
+                        v = proj(p["v"], x)
+                    if rotary:
+                        q, kk = esm2._rotary(q, kk)
+                    q = q.reshape(B_ * heads, T_, hd)
+                    kk = kk.reshape(B_ * heads, T_, hd)
+                    v = v.reshape(B_ * heads, T_, hd)
+                    out = ap_mod.flash_attention(q, kk, v) if core else v
+                    out = out.reshape(B_, heads, T_, hd).transpose(
+                        0, 2, 1, 3).reshape(B_, T_, D_)
+                    h = h + (out @ p["o"]["w"] + p["o"]["b"])
+                o = h[0, 0, 0].astype(jnp.float32)
+                return dep(s, o), o
+            return stack
+
+        timeit("attn ablation: full (flash)", attn_variant(), h0, key,
+               args.iters)
+        timeit("attn ablation: no rotary", attn_variant(rotary=False), h0,
+               key, args.iters)
+        timeit("attn ablation: merged QKV", attn_variant(merged=True), h0,
+               key, args.iters)
+        timeit("attn ablation: no LN", attn_variant(ln=False), h0, key,
+               args.iters)
+        timeit("attn ablation: no attention core", attn_variant(core=False),
+               h0, key, args.iters)
+        timeit("attn ablation: merged+no-rotary",
+               attn_variant(rotary=False, merged=True), h0, key, args.iters)
+        esm2.ATTENTION_IMPL = None
 
     if args.full_step:
         from ppde_tpu import energy as energy_mod, utils
@@ -154,7 +233,7 @@ def main():
 
         for impl in ("xla", "flash"):
             esm2.ATTENTION_IMPL = impl
-            for chunk in (64, None):
+            for chunk in ((8, 16, 32) if impl == "xla" else (16, 32)):
                 en0 = energy_mod.protein_poe(
                     pp0, ens0, lam=1.0, wt_onehot=wt_oh0,
                     transformer=(tr_params0, tr_apply0),
@@ -162,9 +241,62 @@ def main():
 
                 def eg(s, k, en0=en0):
                     e, f, g = en0.energy_and_grad(en0.params, s)
-                    return s, e[0] + g[0, 0, 0].astype(jnp.float32)
+                    out = e[0] + g[0, 0, 0].astype(jnp.float32)
+                    return dep(s, out), out
                 timeit(f"energy_and_grad chunk={chunk} ({impl})", eg, x0,
                        key, args.iters)
+        esm2.ATTENTION_IMPL = None
+
+        # -- the same monolithic energy, but params as jit ARGUMENTS (the
+        # sampler's ctx pattern) instead of closure constants --
+        import time as _time
+        esm2.ATTENTION_IMPL = "flash"
+        en_a = energy_mod.protein_poe(
+            pp0, ens0, lam=1.0, wt_onehot=wt_oh0,
+            transformer=(tr_params0, tr_apply0),
+            compute_dtype=jnp.bfloat16)
+
+        def scan_args(ctx, s, ks):
+            def body(s, k):
+                e, f, g = en_a.energy_and_grad(ctx, s)
+                out = e[0] + g[0, 0, 0].astype(jnp.float32)
+                return dep(s, out), out
+            return jax.lax.scan(body, s, ks)
+
+        run_a = jax.jit(scan_args)
+        ks = jax.random.split(key, args.iters)
+        out = run_a(en_a.params, x0, ks)
+        _ = float(jnp.asarray(out[1]).reshape(-1)[-1])
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            s, ys = run_a(en_a.params, x0, ks)
+            _ = float(jnp.asarray(ys).reshape(-1)[-1])
+            best = min(best, _time.perf_counter() - t0)
+        print(f"{'energy_and_grad ARGS-ctx (flash)':46s} "
+              f"{best / args.iters * 1e3:8.2f} ms/iter", flush=True)
+        esm2.ATTENTION_IMPL = None
+
+        # -- step minus energy (carried values; PAS machinery only) --
+        esm2.ATTENTION_IMPL = "flash"
+        window_ok0 = utils.position_window_mask(L, 20, 0, L - 1)
+        cfg0 = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
+        e00, f00, g00 = jax.jit(en_a.energy_and_grad)(en_a.params, x0)
+        en_free = energy_mod.Energy(
+            params=en_a.params, energy=en_a.energy,
+            energy_and_grad=lambda p, y: (
+                e00 + jnp.sum(y[:, 0, 0]) * 0, f00, g00),
+            fitness=en_a.fitness, wt_onehot=en_a.wt_onehot)
+        stepf = ppde_mod.make_step(en_free, cfg0, window_ok0, B, L, 20)
+        ctx0 = {"energy": en_a.params, "wt": x0[0], "init_x": x0,
+                "wt_e": e00[0], "wt_fit": f00[0], "wt_grad": g00[0]}
+        st0 = (x0, (e00, f00, g00), (e00, f00, x0))
+
+        def free_step(s, k):
+            s2, ys = stepf(ctx0, s, k)
+            return s2, ys["energy"][0]
+        timeit("step minus energy (PAS only)", free_step, st0, key,
+               args.iters)
         esm2.ATTENTION_IMPL = None
 
         pp = potts.synthetic(wt, seed=0, dtype=jnp.bfloat16)
@@ -177,11 +309,21 @@ def main():
             x_e = x.astype(p["perm"].dtype) @ p["perm"]
             return esm2.pseudo_log_likelihood(p, x_e, heads) - p["wt_score"]
 
-        for impl in ("xla", "flash"):
+        import functools as _ft
+        _orig_sg = energy_mod.potts_mod.score_and_grad
+        variants = [("xla", 16, "potts-pallas"), ("xla", 8, "potts-pallas"),
+                    ("xla", 16, "potts-xla"), ("xla", 16, "no-potts")]
+        for impl, ck, pv in variants:
             esm2.ATTENTION_IMPL = impl
+            if pv == "potts-xla":
+                energy_mod.potts_mod.score_and_grad = _ft.partial(
+                    _orig_sg, use_pallas=False)
+            else:
+                energy_mod.potts_mod.score_and_grad = _orig_sg
             en = energy_mod.protein_poe(
-                pp, ens, lam=1.0, wt_onehot=wt_oh,
-                transformer=(tr_params, tr_apply),
+                pp if pv != "no-potts" else None, ens, lam=1.0,
+                wt_onehot=wt_oh,
+                transformer=(tr_params, tr_apply), chunk_size=ck,
                 compute_dtype=jnp.bfloat16)
             window_ok = utils.position_window_mask(L, 20, 0, L - 1)
             cfg = ppde_mod.PPDEConfig(pas_length=2, nmut_threshold=10)
@@ -194,8 +336,9 @@ def main():
             def full(s, k, step=step, ctx=ctx):
                 s2, ys = step(ctx, s, k)
                 return s2, ys["energy"][0]
-            timeit(f"FULL PoE PPDE step ({impl})", full, st, key,
+            timeit(f"FULL PoE PPDE step ({impl} chunk={ck} {pv})", full, st, key,
                    args.iters)
+        energy_mod.potts_mod.score_and_grad = _orig_sg
         esm2.ATTENTION_IMPL = None
 
 
