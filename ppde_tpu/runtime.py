@@ -86,11 +86,15 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
     cnn_chunk = getattr(args, "cnn_chunk", 0) or None
     if cnn_chunk is None and args.n_chains > 256:
         cnn_chunk = 128  # large populations: chunked eval scales linearly
+    # 'split' = JAX equal-tie-split (default; never slower, PERF.md);
+    # 'first' = torch.max single-index backward (reference nets.py:372)
+    pool_bwd = getattr(args, "pool_bwd", "split")
     if args.energy_function == "supervised":
         en = energy_mod.protein_supervised(sup, wt_onehot,
                                            compute_dtype=cdt_j,
                                            fused_cnn=fused,
-                                           cnn_chunk=cnn_chunk)
+                                           cnn_chunk=cnn_chunk,
+                                           pool_bwd=pool_bwd)
     else:
         use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
         # Transformer chunking, measured honestly at B=128 ESM2-S
@@ -108,7 +112,8 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
             transformer=transformer, chunk_size=chunk,
-            compute_dtype=cdt_j, fused_cnn=fused, cnn_chunk=cnn_chunk)
+            compute_dtype=cdt_j, fused_cnn=fused, cnn_chunk=cnn_chunk,
+            pool_bwd=pool_bwd)
 
     orc = oracle_mod.load(protein_dir, potts_params=pp)
     oracle = (orc, oracle_mod.apply)

@@ -189,6 +189,11 @@ def build_parser():
     g.add_argument("--cnn_chunk", type=int, default=0,
                    help="chunk the CNN energy over this many chains "
                         "(0 = auto: 128 when n_chains > 256)")
+    g.add_argument("--pool_bwd", choices=["split", "first"],
+                   default="split",
+                   help="max-pool backward: JAX equal-tie-split (default) "
+                        "or torch.max first-argmax routing (reference "
+                        "gradient parity; ~2%% slower, PERF.md)")
     g.add_argument("--esm_chunk", type=int, default=0,
                    help="chunk the transformer energy over this many chains "
                         "(0 = monolithic; chunking measured 4.5x slower on "

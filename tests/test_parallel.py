@@ -167,3 +167,29 @@ def test_tp_esm_matches_replicated():
         out = jax.jit(esm2.pseudo_log_likelihood)(p_sh, x_sh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_tp_esm_650m_shapes_matches_replicated():
+    """shard_esm at the 650M configuration's per-layer SHAPES
+    (D=1280, F=5120, hd=64 — transformer-L, reference nets.py:174-181),
+    layer-truncated so the virtual CPU mesh can run it; validates the
+    TP specs + remat path the on-chip 650M smoke uses."""
+    from ppde_tpu.models import esm2
+
+    params = esm2.init(jax.random.PRNGKey(1), "transformer-L",
+                       dtype=jnp.float32)
+    params["layers"] = params["layers"][:2]
+    x = jax.nn.one_hot(
+        np.random.default_rng(1).integers(0, 33, (4, 16)), 33,
+        dtype=jnp.float32)
+    ref = jax.jit(lambda p, v: esm2.pseudo_log_likelihood(
+        p, v, remat=True))(params, x)
+
+    mesh = pmesh.make_mesh(dp=2, ep=1, tp=4)
+    p_sh = pmesh.shard_esm(params, mesh)
+    x_sh = pmesh.shard_chains(x, mesh)
+    with mesh:
+        out = jax.jit(lambda p, v: esm2.pseudo_log_likelihood(
+            p, v, remat=True))(p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
