@@ -167,9 +167,14 @@ def main(args):
     print(f"sampler throughput: {res.steps_per_sec:.1f} steps/s", flush=True)
 
     m = args.metrics.split("+")
-    # histories are recorded at oracle cadence for plots (reference keeps
-    # fitness at log steps only, mnist ppde.py:153-156)
-    stride = max(1, args.log_every)
+    # histories are thinned to oracle cadence for plots/CSVs (reference
+    # keeps fitness at log steps only, mnist ppde.py:153-156). MCMC
+    # samplers record fitness EVERY step; CMA-ES records at log cadence
+    # already — derive the stride from the recorded lengths so CSV step
+    # labels are correct for both.
+    stride = max(1, (len(res.fitness_history) - 1)
+                 // max(1, len(res.oracle_history) - 1)) \
+        if len(res.oracle_history) > 1 else max(1, args.log_every)
     fit_hist = res.fitness_history[::stride]
     orc_hist = res.oracle_history
     n = min(len(fit_hist), len(orc_hist))
