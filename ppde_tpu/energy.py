@@ -64,8 +64,9 @@ def _fit_and_grad(p, x, compute_dtype, fused_cnn, interpret=False,
                   cnn_chunk=None, pool_bwd="split"):
     """Supervised CNN (fitness, d mean-fitness/dx): fused Pallas kernel or
     the XLA VJP path. The fused kernel (ops/cnn_pallas.py) keeps all
-    ensemble activations VMEM-resident: 0.29 ms vs 0.60 ms for the XLA VJP
-    at GFP 128-chain shapes.
+    ensemble activations VMEM-resident; measured in-step at GFP shapes the
+    two paths tie at 128 chains (~0.6 ms, both at the matmul floor) and
+    the kernel wins 30%+ at 1024 (4.89 vs 7.05 ms/eval — PERF.md roofline).
 
     cnn_chunk: lax.map the evaluation over chain chunks of this size.
     Large batches scale superlinearly in one XLA program (GFP 1024 chains:

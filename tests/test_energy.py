@@ -59,7 +59,9 @@ def test_protein_supervised(rng):
 
 
 def test_protein_poe_chunked_transformer_path(rng):
-    """The chunked lax.map transformer path must equal the unchunked one."""
+    """The unrolled-chunk transformer path must equal the unchunked one
+    (round 3: chunks are an unrolled python loop — 3.4x faster than
+    lax.map/monolithic on TPU, PERF.md — including ragged tails)."""
     pp = potts.synthetic(WT, seed=3)
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
@@ -70,14 +72,16 @@ def test_protein_poe_chunked_transformer_path(rng):
         return jnp.tanh((x * params).sum((-1, -2)))
 
     e1 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh, transformer=(w, toy_transformer))
-    e2 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh, transformer=(w, toy_transformer),
-                                chunk_size=2)
     x = jnp.asarray(codec.ints_to_onehot(rng.integers(0, 20, (8, len(WT)))))
     a = e1.energy_and_grad(e1.params, x)
-    b = e2.energy_and_grad(e2.params, x)
-    for u, v in zip(a, b):
-        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-5,
-                                   atol=1e-6)
+    for chunk in (2, 3):  # 3 exercises the ragged tail (8 = 3 + 3 + 2)
+        e2 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh,
+                                    transformer=(w, toy_transformer),
+                                    chunk_size=chunk)
+        b = e2.energy_and_grad(e2.params, x)
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_mnist_poe_grad(rng):
