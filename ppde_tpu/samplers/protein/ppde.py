@@ -79,10 +79,17 @@ class PPDEConfig:
 
 
 def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
-              n: int, L: int, V: int):
+              n: int, L: int, V: int, tempered: bool = False):
     """Build the jittable outer-step function (ctx, state, key) -> ...
 
     ctx must hold: 'energy' (params pytree), 'wt' [L,V], 'init_x' [N,L,V].
+    tempered: ctx additionally holds per-chain inverse temperatures
+    'beta' [N]; the chain then targets the tempered density
+    pi_i(x) ~ exp(beta_i * E(x)) — the proposal uses grad(beta*E)
+    = beta*grad and the MH ratio uses beta*dE. beta == 1 reduces exactly
+    to the untempered step. Used by the parallel-tempering wrapper
+    (samplers/protein/pt.py); the carried grad stays the RAW dE/dx so
+    states can swap between temperature levels without rescaling.
     """
     max_u = max(2 * cfg.pas_length - 1, 1)
     nmut = cfg.nmut_threshold if cfg.nmut_threshold > 0 else np.iinfo(np.int32).max
@@ -90,6 +97,7 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
     def step(ctx, state, key):
         cur_x, (e_cur, fit_cur, grad_x), best = state
         wt = ctx["wt"]
+        beta3 = ctx["beta"][:, None, None] if tempered else None
         # TPU note: NO scatters and NO per-row gathers anywhere below —
         # every indexed read/write is a one-hot compare + select/reduce
         # (XLA lowers scatter/gather on TPU to serialized loops; a first
@@ -104,7 +112,10 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         u_mask = (jnp.arange(max_u)[:, None] < U[None, :])          # [max_u,N]
 
         # ---- forward path over token sequences (factored proposals) ----
-        gx = grad_x.astype(jnp.float32) / cfg.temp                  # [N,L,V]
+        gx = grad_x.astype(jnp.float32)
+        if tempered:
+            gx = gx * beta3
+        gx = gx / cfg.temp                                          # [N,L,V]
         v_logits = jnp.where(window_ok[None], gx, utils.NEG_INF)
         lA = jax.nn.logsumexp(v_logits, axis=-1)                    # [N,L]
         g_wt = jnp.sum(gx * wt[None], axis=-1)                      # [N,L]
@@ -173,7 +184,10 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         # instead gathers the FORWARD index (p_t, v_t), whose logit is
         # identically 0 (cfg.reference_reverse — biased, see PPDEConfig).
         # logZ(x_{t+1}) updates one position per step either way.
-        gy = grad_y.astype(jnp.float32) / 2.0
+        gy = grad_y.astype(jnp.float32)
+        if tempered:
+            gy = gy * beta3
+        gy = gy / 2.0
         lsY = jax.nn.logsumexp(gy, axis=-1)                         # [N,L]
         gy_tok0 = jnp.sum(gy * cur_x, axis=-1)                      # [N,L]
         # gy rows at each step's position: contract the position one-hots
@@ -197,7 +211,10 @@ def make_step(energy: Energy, cfg: PPDEConfig, window_ok: jnp.ndarray,
         rev_logps = rev_picked + neg_logZ
         log_ratio = jnp.sum(u_mask * (rev_logps - fwd_logps), axis=0)
 
-        log_acc = (e_prop - e_cur) + log_ratio
+        d_e = e_prop - e_cur
+        if tempered:
+            d_e = d_e * ctx["beta"]
+        log_acc = d_e + log_ratio
         accepted = (jnp.exp(log_acc) >= jax.random.uniform(k_acc, (n,)))
         fallback = ctx["init_x"] if cfg.paper_results else cur_x
         acc3 = accepted.reshape(n, 1, 1)
