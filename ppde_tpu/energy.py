@@ -137,12 +137,15 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
 
         if chunk_size is None or x.shape[0] <= chunk_size:
             return one_chunk(x)
-        # UNROLLED python loop, NOT lax.map: measured honestly (round 3,
-        # tools/profile_esm.py dep-threaded probes) at B=128 ESM2-S
-        # energy+grad: unrolled 64-chunks 64.5 ms < lax.map 64-chunks
-        # 93.7 ms (the while-loop is a fusion/scheduling barrier) <
-        # monolithic 99-105 ms (chunking also helps absolute perf here,
-        # beyond its memory role for 650M vjp residuals).
+        # UNROLLED python loop, NOT lax.map: honest all-outputs-consumed
+        # probes (tools/probe_esm_dce.py — dep-threaded AND consuming
+        # every chunk's outputs; chunk0-only probes get 7/8 chunks
+        # dead-code-eliminated) at B=128 ESM2-S energy+grad: unrolled
+        # chunk-16 63.3 ms < lax.map chunk-64 93.7 < monolithic 105.0.
+        # Independent chunk subgraphs give the scheduler ILP to hide the
+        # latency-bound hd=24 attention cores (marginal chunk ~4.6 ms vs
+        # 30.8 for one alone); a rolled lax.map loop cannot overlap
+        # iterations (chunking also bounds 650M vjp-residual memory).
         n = x.shape[0]
         outs = [one_chunk(x[i:i + chunk_size])
                 for i in range(0, n, chunk_size)]

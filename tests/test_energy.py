@@ -60,8 +60,8 @@ def test_protein_supervised(rng):
 
 def test_protein_poe_chunked_transformer_path(rng):
     """The unrolled-chunk transformer path must equal the unchunked one
-    (round 3: chunks are an unrolled python loop — 3.4x faster than
-    lax.map/monolithic on TPU, PERF.md — including ragged tails)."""
+    (round 3: chunks are an unrolled python loop — honest 1.66x over
+    monolithic on TPU via cross-chunk ILP, PERF.md — incl. ragged tails)."""
     pp = potts.synthetic(WT, seed=3)
     ens = cnn.init_ensemble(jax.random.PRNGKey(0), 3, input_size=len(WT))
     wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))

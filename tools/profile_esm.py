@@ -231,6 +231,12 @@ def main():
             x_e = x.astype(p["perm"].dtype) @ p["perm"]
             return esm2.pseudo_log_likelihood(p, x_e, heads) - p["wt_score"]
 
+        # CONSUME ALL OUTPUTS: chunked evaluations are independent unrolled
+        # subgraphs, and a probe that reads only e[0]/g[0,0,0] gets every
+        # chunk but the first dead-code-eliminated (this very probe lied
+        # 31 vs 63 ms before the fix — tools/probe_esm_dce.py, PERF.md)
+        r_dir = jax.random.normal(jax.random.PRNGKey(3), x0.shape,
+                                  jnp.float32)
         for impl in ("xla", "flash"):
             esm2.ATTENTION_IMPL = impl
             for chunk in ((8, 16, 32) if impl == "xla" else (16, 32)):
@@ -241,7 +247,7 @@ def main():
 
                 def eg(s, k, en0=en0):
                     e, f, g = en0.energy_and_grad(en0.params, s)
-                    out = e[0] + g[0, 0, 0].astype(jnp.float32)
+                    out = jnp.sum(e) + jnp.sum(g.astype(jnp.float32) * r_dir)
                     return dep(s, out), out
                 timeit(f"energy_and_grad chunk={chunk} ({impl})", eg, x0,
                        key, args.iters)
