@@ -197,6 +197,71 @@ def test_pt_step_hlo_has_no_scatter_or_gather():
     assert hlo.count("gather(") == 0
 
 
+def two_basin_energy(L=6, V=4, a=1.0, b=1.2):
+    """Deceptive two-mode landscape, quadratic in the one-hot encoding:
+    E(x) = a*(#tokens==0)^2 + b*(#tokens==1)^2. Modes all-0 (E=a*L^2) and
+    all-1 (E=b*L^2 — the better one); every single-site path between them
+    passes an ~2aL-deep valley, so a beta=1 single-temperature chain
+    started at all-0 is stuck behind an exp(-~10) acceptance wall while a
+    beta=0.25 replica crosses freely."""
+    D = L * V
+    J = np.zeros((D, D), np.float32)
+    for t, w in ((0, 2 * a), (1, 2 * b)):
+        for i in range(L):
+            for j in range(L):
+                if i != j:
+                    J[i * V + t, j * V + t] = w
+    h = np.zeros(D, np.float32)
+    h[0::V] = a                      # diagonal (i==i) terms of the squares
+    h[1::V] = b
+    Jb = {"J": jnp.asarray(J), "h": jnp.asarray(h)}
+
+    def e_fn(p, x):
+        xf = x.reshape(x.shape[0], -1)
+        e = 0.5 * jnp.einsum("nd,de,ne->n", xf, p["J"], xf) + xf @ p["h"]
+        return e, e
+
+    def e_and_grad(p, x):
+        e, _ = e_fn(p, x)
+        xf = x.reshape(x.shape[0], -1)
+        grad = (xf @ p["J"] + p["h"][None]).reshape(x.shape)
+        return e, e, grad
+
+    return energy_mod.Energy(params=Jb, energy=e_fn,
+                             energy_and_grad=e_and_grad,
+                             fitness=lambda p, x: e_fn(p, x)[0]), (L, V)
+
+
+def test_pt_crosses_barrier_plain_ppde_cannot():
+    """The PT value demonstration: on the two-basin target started in the
+    WORSE mode, plain beta=1 PPDE stays trapped (acceptance wall ~exp(-10))
+    while PT's hot replicas cross and exchange the better mode down to the
+    cold block."""
+    en, (L, V) = two_basin_energy()
+    n_steps = 1500
+    window_ok_args = dict(min_pos=0, max_pos=L - 1)
+    x0 = jnp.tile(jax.nn.one_hot(jnp.zeros((L,), jnp.int32), V)[None],
+                  (64, 1, 1))                            # all chains at all-0
+
+    def frac_in_better_mode(final_x, sl):
+        toks = np.asarray(final_x[sl]).argmax(-1)
+        return float(np.mean((toks == 1).all(-1)))
+
+    plain_cfg = ppde.PPDEConfig(pas_length=1)
+    r_plain = ppde.run(en, x0, n_steps, oracle=None, cfg=plain_cfg,
+                       key=jax.random.PRNGKey(2), log_every=n_steps,
+                       quiet=True, **window_ok_args)
+    pt_cfg = pt.PTConfig(pas_length=1, n_levels=4, beta_min=0.25)
+    r_pt = pt.run(en, x0, n_steps, oracle=None, cfg=pt_cfg,
+                  key=jax.random.PRNGKey(2), log_every=n_steps,
+                  quiet=True, **window_ok_args)
+
+    stuck = frac_in_better_mode(r_plain.final_x, slice(None))
+    cold = frac_in_better_mode(r_pt.final_x, slice(0, 16))
+    assert stuck < 0.2, f"plain PPDE unexpectedly crossed: {stuck}"
+    assert cold > 0.6, f"PT cold block failed to reach the better mode: {cold}"
+
+
 def test_pt_every_level_samples_its_tempered_boltzmann():
     """Gold test: run full PT on the enumerable 256-state quadratic target
     and check EACH level's empirical mean energy against the exact mean of
