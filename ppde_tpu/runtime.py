@@ -98,14 +98,14 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
     else:
         use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
         # Transformer chunking, measured honestly at B=128 ESM2-S
-        # (tools/profile_esm.py, round 3 — dependency-threaded probes,
-        # energy+grad ms): unrolled chunk-8 29.1 / chunk-16 30.8 /
-        # chunk-32 37.0 / chunk-64 66.8 / lax.map-64 93.7 (the reference's
-        # minibatch pattern, energy.py:114-130, as a sequential device
-        # loop) / monolithic 99-105. Default 16: within 6% of chunk-8 at
-        # half the unrolled program size (compile time through the remote
-        # tunnel scales with copies). energy.py always unrolls;
-        # --esm_chunk overrides (0 = this default).
+        # (tools/probe_esm_dce.py, round 3 — dependency-threaded probes
+        # consuming ALL chunk outputs; energy+grad ms): unrolled chunk-16
+        # 63.3 / chunk-8 66.2 / chunk-32 73.4 / chunk-64 96.3 / lax.map-64
+        # 93.7 (the reference's minibatch pattern, energy.py:114-130, as a
+        # sequential device loop) / monolithic 105.0. Default 16 — the
+        # honest optimum, confirmed by step-level timing (62.9 ms @16 <
+        # 64.5 @8). energy.py always unrolls; --esm_chunk overrides
+        # (0 = this default).
         chunk = getattr(args, "esm_chunk", 0) or None
         if chunk is None and transformer is not None and args.n_chains > 16:
             chunk = 16
