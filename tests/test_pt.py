@@ -181,6 +181,28 @@ def test_pt_deterministic_given_key():
     np.testing.assert_allclose(r1.energy_history, r2.energy_history)
 
 
+def test_pt_resume_is_bit_exact(tmp_path):
+    """PT carries extra scan state beyond plain PPDE (the swap-parity step
+    counter); checkpoint/resume must restore it so the alternating even/odd
+    exchange schedule continues exactly where it stopped."""
+    en, oracle, pop, pp = make_setup(n=16)
+    cfg = pt.PTConfig(pas_length=2, n_levels=4, beta_min=0.3)
+
+    def go(n_steps, ck=None):
+        return pt.run(en, pop, n_steps, min_pos=2, max_pos=17, oracle=oracle,
+                      cfg=cfg, key=jax.random.PRNGKey(11), log_every=20,
+                      quiet=True, checkpoint_dir=ck)
+
+    ref = go(80)
+    ck = str(tmp_path / "ck")
+    go(40, ck=ck)
+    resumed = go(80, ck=ck)
+    np.testing.assert_array_equal(resumed.final_x, ref.final_x)
+    np.testing.assert_array_equal(resumed.energy_history, ref.energy_history)
+    np.testing.assert_array_equal(resumed.best_x, ref.best_x)
+    np.testing.assert_array_equal(resumed.oracle_history, ref.oracle_history)
+
+
 def test_pt_step_hlo_has_no_scatter_or_gather():
     en, oracle, pop, pp = make_setup(n=16)
     n, L, V = pop.shape
