@@ -44,7 +44,15 @@ def _flip_scores(x, grad):
     return grad * -(2.0 * x - 1.0)
 
 
-def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
+def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int,
+                   tempered: bool = False):
+    """tempered: ctx additionally holds per-chain inverse temperatures
+    'beta' [n]; the chain targets pi_i(x) ~ exp(beta_i * E(x)) — proposals
+    use beta*grad (flip scores are linear in grad, so pre-scaling the grad
+    fed to the path scan is exact) and the MH ratio uses beta*dE. beta == 1
+    reduces exactly to the untempered step; the carried grad stays RAW
+    dE/dx so states swap between temperature levels without rescaling
+    (samplers/mnist/pt.py)."""
     max_u = max(2 * cfg.pas_length - 1, 1)
 
     def inner(carry, key_and_t):
@@ -62,21 +70,27 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
     def step(ctx, state, key):
         x2, (e_cur, fit_cur, grad), best = state
         x1 = ctx["x1"]
+        beta2 = ctx["beta"][:, None] if tempered else None
         k_u, k_inner, k_acc = jax.random.split(key, 3)
         U = jax.random.randint(k_u, (n,), 1, 2 * cfg.pas_length)
         u_mask = (jnp.arange(max_u)[None, :] < U[:, None]).astype(jnp.float32)
         u_mask = u_mask.at[:, 0].set(1.0)  # first flip ungated
 
         keys = jax.random.split(k_inner, max_u)
+        g_fwd = grad * beta2 if tempered else grad
         (y, _, _), (idxs, fwd_logps, traj) = jax.lax.scan(
-            inner, (x2, grad, U), (keys, jnp.arange(max_u)))
+            inner, (x2, g_fwd, U), (keys, jnp.arange(max_u)))
 
         e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y, x1)
-        rev_logits = _flip_scores(traj, grad_y[None]) / cfg.temp
+        g_rev = grad_y * beta2 if tempered else grad_y
+        rev_logits = _flip_scores(traj, g_rev[None]) / cfg.temp
         rev_logps = jax.vmap(utils.categorical_log_prob)(rev_logits, idxs)
         log_ratio = jnp.sum(u_mask.T * (rev_logps - fwd_logps), axis=0)
 
-        la = (e_prop - e_cur) + log_ratio
+        d_e = e_prop - e_cur
+        if tempered:
+            d_e = d_e * ctx["beta"]
+        la = d_e + log_ratio
         accepted = jnp.exp(la) > jax.random.uniform(k_acc, (n,))
         acc2 = accepted.reshape(n, 1)
         new_x2 = jnp.where(acc2, y, x2)
@@ -92,16 +106,20 @@ def _make_step_pas(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
     return step
 
 
-def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
+def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int,
+                   tempered: bool = False):
+    """tempered: see _make_step_pas — same beta semantics."""
     max_s = max(2 * cfg.gwg_samples - 1, 1)
 
     def step(ctx, state, key):
         x2, (e_cur, fit_cur, grad), best = state
         x1 = ctx["x1"]
+        beta2 = ctx["beta"][:, None] if tempered else None
         k_n, k_s, k_acc = jax.random.split(key, 3)
         n_samples = jax.random.randint(k_n, (), 1, 2 * cfg.gwg_samples)
 
-        fwd_logits = _flip_scores(x2, grad) / cfg.temp
+        g_fwd = grad * beta2 if tempered else grad
+        fwd_logits = _flip_scores(x2, g_fwd) / cfg.temp
         idxs = jax.random.categorical(k_s, fwd_logits, axis=-1,
                                       shape=(max_s, n))
         live = (jnp.arange(max_s) < n_samples).astype(x2.dtype)  # [max_s]
@@ -110,14 +128,18 @@ def _make_step_gwg(energy: Energy, cfg: MNISTPPDEConfig, n: int, D: int):
         y = utils.flip_bits(x2, changes)
 
         e_prop, fit_prop, grad_y = energy.energy_and_grad(ctx["energy"], y, x1)
-        rev_logits = _flip_scores(y, grad_y) / cfg.temp
+        g_rev = grad_y * beta2 if tempered else grad_y
+        rev_logits = _flip_scores(y, g_rev) / cfg.temp
         fwd_lp = jax.vmap(utils.categorical_log_prob, in_axes=(None, 0))(
             fwd_logits, idxs)  # [max_s, n]
         rev_lp = jax.vmap(utils.categorical_log_prob, in_axes=(None, 0))(
             rev_logits, idxs)
         log_ratio = jnp.sum(live[:, None] * (rev_lp - fwd_lp), axis=0)
 
-        la = (e_prop - e_cur) + log_ratio
+        d_e = e_prop - e_cur
+        if tempered:
+            d_e = d_e * ctx["beta"]
+        la = d_e + log_ratio
         accepted = jnp.exp(la) > jax.random.uniform(k_acc, (n,))
         acc2 = accepted.reshape(n, 1)
         new_x2 = jnp.where(acc2, y, x2)

@@ -12,22 +12,13 @@ step adjacent levels attempt state swaps with the standard exchange rule
 
 TPU-first structure (everything is batch-dim algebra — no host loops, no
 scatters/gathers, one lax.scan per segment exactly like the base sampler):
-  * per-chain beta is a ctx array; the tempered PAS step reuses
-    ppde.make_step(tempered=True) unchanged (the carried grad stays raw
-    dE/dx, so swapping states between levels needs no rescaling);
-  * the even/odd pairing alternates by a step counter carried in the scan
-    state; partner selection is a [K, K] one-hot permutation matrix
-    contracted against the level axis (a matmul — XLA lowers it to fast
-    select/reduce code, unlike dynamic gathers which serialize on TPU);
-  * both ends of a pair share one uniform draw (the lower level's), so the
-    accept decision is symmetric and the swap is a valid involution.
-
-Detailed balance: the exchange move is its own involution with symmetric
-proposal probability (parity is deterministic, partner choice is
-deterministic given parity), so the acceptance above satisfies detailed
-balance for the product measure prod_l pi_l — the gold stationarity test
-(tests/test_pt.py) verifies the COLD level samples the exact Boltzmann
-distribution with the full PT machinery running.
+per-chain beta is a ctx array, the tempered PAS step reuses
+ppde.make_step(tempered=True) unchanged (the carried grad stays raw dE/dx,
+so swapping states between levels needs no rescaling), and the exchange
+phase is the shared domain-agnostic core (samplers/pt_core.py — also used
+by the MNIST PT sampler; detailed-balance argument documented there). The
+gold stationarity test (tests/test_pt.py) verifies EVERY level samples its
+exact tempered Boltzmann distribution with the full PT machinery running.
 """
 from __future__ import annotations
 
@@ -39,7 +30,7 @@ import numpy as np
 
 from ppde_tpu import utils
 from ppde_tpu.energy import Energy
-from ppde_tpu.samplers import base
+from ppde_tpu.samplers import base, pt_core
 from ppde_tpu.samplers.protein import ppde
 
 
@@ -52,17 +43,8 @@ class PTConfig(ppde.PPDEConfig):
 
 
 def ladder(n_chains: int, cfg: PTConfig) -> np.ndarray:
-    """Per-chain inverse temperatures [n_chains]; level = chain // M with
-    M = n_chains // n_levels. Level 0 is the cold (beta=1) chain block."""
-    if n_chains % cfg.n_levels:
-        raise ValueError(
-            f"n_chains={n_chains} must be divisible by n_levels={cfg.n_levels}")
-    if not (0.0 < cfg.beta_min <= 1.0):
-        raise ValueError(f"beta_min must be in (0, 1], got {cfg.beta_min}")
-    k = np.arange(cfg.n_levels, dtype=np.float64)
-    denom = max(cfg.n_levels - 1, 1)
-    betas = cfg.beta_min ** (k / denom)
-    return np.repeat(betas, n_chains // cfg.n_levels).astype(np.float32)
+    """Per-chain inverse temperatures [n_chains] (see pt_core.ladder)."""
+    return pt_core.ladder(n_chains, cfg.n_levels, cfg.beta_min)
 
 
 def make_pt_step(energy: Energy, cfg: PTConfig, window_ok: jnp.ndarray,
@@ -71,10 +53,8 @@ def make_pt_step(energy: Energy, cfg: PTConfig, window_ok: jnp.ndarray,
     the ppde step state, count the outer step index (drives swap parity).
 
     ctx additionally holds 'beta' [n]."""
-    K = cfg.n_levels
-    M = n // K
     inner = ppde.make_step(energy, cfg, window_ok, n, L, V, tempered=True)
-    iota_k = jnp.arange(K, dtype=jnp.int32)
+    exchange = pt_core.make_exchange(n, cfg.n_levels, cfg.swap_every)
 
     def step(ctx, state, key):
         core, count = state
@@ -82,46 +62,15 @@ def make_pt_step(energy: Energy, cfg: PTConfig, window_ok: jnp.ndarray,
         core, ys = inner(ctx, core, k_move)
         cur_x, (e, fit, grad), best = core
 
-        # ---- replica-exchange phase (alternating even/odd pairing) ----
-        parity = (count // cfg.swap_every) % 2
-        gate = (count % cfg.swap_every) == 0
-        sgn = 1 - 2 * ((iota_k - parity) % 2)            # +1 pairs up, -1 down
-        partner = iota_k + sgn
-        valid = (partner >= 0) & (partner < K)
-        partner = jnp.where(valid, partner, iota_k)      # edges self-pair
-        P = (iota_k[None, :] == partner[:, None]).astype(jnp.float32)  # [K,K]
-
-        betas_lvl = ctx["beta"].reshape(K, M)[:, 0]
-        e_lvl = e.reshape(K, M)
-        e_part = P @ e_lvl                               # [K, M]
-        beta_part = P @ betas_lvl
-        # symmetric under l <-> partner: both ends compute the same value
-        log_acc = (betas_lvl - beta_part)[:, None] * (e_part - e_lvl)
-
-        u = jax.random.uniform(k_swap, (K, M))
-        u_shared = jnp.where((iota_k < partner)[:, None], u, P @ u)
-        swap = ((jnp.log(u_shared) < log_acc)
-                & valid[:, None] & gate)                 # [K, M]
-
-        def exchange(v):
-            flat = v.reshape(K, -1)
-            part = P @ flat.astype(jnp.float32)
-            s = jnp.broadcast_to(swap[..., None],
-                                 (K, M, flat.shape[1] // M)).reshape(K, -1)
-            return jnp.where(s, part, flat.astype(jnp.float32)) \
-                      .astype(v.dtype).reshape(v.shape)
-
-        cur_x = exchange(cur_x)
-        e = exchange(e)
-        fit = exchange(fit)
-        grad = exchange(grad)
+        (cur_x, e, fit, grad), n_swapped = exchange(
+            ctx["beta"], e, count, k_swap, [cur_x, e, fit, grad])
 
         # post-swap bookkeeping: records/best/traj reflect the state a chain
         # actually holds after the full PT step
         best = base.update_best(best, e, fit, cur_x)
         ys = dict(ys, energy=e, fitness=fit,
                   traj=jnp.argmax(cur_x[0], axis=-1).astype(jnp.int8),
-                  n_swapped=jnp.sum(swap & (sgn > 0)[:, None]))
+                  n_swapped=n_swapped)
         return ((cur_x, (e, fit, grad), best), count + 1), ys
 
     return step

@@ -109,6 +109,16 @@ def get_sampler_runner(args):
                                    gwg_samples=args.ppde_gwg_samples)
         return (lambda **kw: ppde.run(cfg=cfg, key=key, checkpoint_dir=ck,
                                       **kw)), abbrv
+    if args.sampler == "PPDE-PT":
+        from ppde_tpu.samplers.mnist import pt
+
+        cfg = pt.MNISTPTConfig(pas_length=args.ppde_pas_length,
+                               gwg_samples=args.ppde_gwg_samples,
+                               n_levels=args.pt_levels,
+                               beta_min=args.pt_beta_min,
+                               swap_every=args.pt_swap_every)
+        return (lambda **kw: pt.run(cfg=cfg, key=key, checkpoint_dir=ck,
+                                    **kw)), "PPDE-PT"
     if args.sampler == "simulated_annealing":
         cfg = sa.MNISTSAConfig(temp=args.simulated_annealing_temp,
                                muts_per_seq_param=args.muts_per_seq_param,
@@ -231,6 +241,16 @@ def build_parser():
     pp = p.add_argument_group("ppde")
     pp.add_argument("--ppde_gwg_samples", type=int, default=1)
     pp.add_argument("--ppde_pas_length", type=int, default=10)
+    pp.add_argument("--pt_levels", type=int, default=8,
+                    help="PPDE-PT: temperature levels (n_chains %% levels "
+                         "== 0; beyond-reference parallel tempering, "
+                         "samplers/mnist/pt.py)")
+    pp.add_argument("--pt_beta_min", type=float, default=0.25,
+                    help="PPDE-PT: hottest inverse temperature (geometric "
+                         "ladder down from 1.0)")
+    pp.add_argument("--pt_swap_every", type=int, default=1,
+                    help="PPDE-PT: attempt replica exchanges every this "
+                         "many steps")
     return p
 
 

@@ -149,6 +149,33 @@ def test_apply_mesh_dp_ep_tp_full_run_matches_single_device():
                                   np.asarray(res0.best_x))
 
 
+def test_apply_mesh_pt_full_run_matches_single_device():
+    """The PT sampler's replica-exchange phase reshapes the chain axis to
+    [levels, M*rest], which crosses dp shard boundaries — GSPMD must insert
+    the collectives and the sharded full run must match unsharded."""
+    from ppde_tpu import runtime
+    from ppde_tpu.samplers.protein import pt
+
+    en, pp, ens, pop = build(n_chains=8)
+    key = jax.random.PRNGKey(13)
+    cfg = pt.PTConfig(pas_length=2, nmut_threshold=5, n_levels=4,
+                      beta_min=0.3)
+
+    res0 = pt.run(en, pop, num_steps=12, min_pos=0, max_pos=31, cfg=cfg,
+                  key=key, log_every=6, quiet=True)
+
+    mesh, en_sh, pop_sh = runtime.apply_mesh(en, pop, dp=4, tp=2)
+    with mesh:
+        res1 = pt.run(en_sh, pop_sh, num_steps=12, min_pos=0, max_pos=31,
+                      cfg=cfg, key=key, log_every=6, quiet=True)
+
+    np.testing.assert_allclose(np.asarray(res1.best_energy),
+                               np.asarray(res0.best_energy),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(res1.best_x),
+                                  np.asarray(res0.best_x))
+
+
 def test_tp_esm_matches_replicated():
     """Tensor-parallel ESM2 pseudo-log-likelihood == replicated."""
     from ppde_tpu.models import esm2
