@@ -110,3 +110,51 @@ def test_mnist_sum_end_to_end(tmp_path):
     files = os.listdir(tmp_path)
     assert any(f.endswith("_final_population.npy") for f in files)
     assert any(f.endswith("_pred_sums.csv") for f in files)
+
+
+@requires_reference
+def test_directed_evolution_ppde_pt_end_to_end(tmp_path):
+    """CLI dispatch of the beyond-reference PPDE-PT sampler (protein)."""
+    _ensure_weights_overlay()
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    de = importlib.import_module("directed_evolution")
+    args = de.build_parser().parse_args([
+        "--protein", "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+        "--protein_weights", os.path.join(REPO, "weights"),
+        "--results_path", str(tmp_path),
+        "--sampler", "PPDE-PT", "--pt_levels", "4", "--pt_beta_min", "0.3",
+        "--n_iters", "8", "--n_chains", "8", "--log_every", "4",
+        "--nmut_threshold", "10", "--energy_lamda", "0.5",
+        "--disable_MSA_transformer_scoring", "--run_signature", "test",
+    ])
+    run_dir = de.main(args)
+    pop = np.load(run_dir / "population.npy")
+    assert pop.shape == (8, 104, 20)
+    np.testing.assert_array_equal(pop.sum(-1), 1.0)
+    assert np.load(run_dir / "energy_history.npy").shape == (9, 8)
+
+
+@requires_reference
+def test_mnist_sum_ppde_pt_end_to_end(tmp_path):
+    """CLI dispatch of the beyond-reference PPDE-PT sampler (MNIST)."""
+    _ensure_weights_overlay()
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib
+
+    ms = importlib.import_module("mnist_sum")
+    args = ms.build_parser().parse_args([
+        "--mnist_weights", os.path.join(REPO, "weights", "mnist_models"),
+        "--data_dir", os.path.join(REPO, "data", "mnist"),
+        "--results_path", str(tmp_path),
+        "--sampler", "PPDE-PT", "--pt_levels", "2",
+        "--n_iters", "6", "--n_chains", "4", "--log_every", "3",
+        "--ppde_pas_length", "2", "--wild_type", "0",
+        "--metrics", "csv",
+    ])
+    res = ms.main(args)
+    assert res.final_x.shape == (4, 784)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("PPDE-PT") and f.endswith("_pred_sums.csv")
+               for f in files)
