@@ -84,6 +84,12 @@ def build_grid(seeds, n_iters, cmaes_iters, esm_weights=None,
                     "--unsupervised_expert", expert, "--energy_lamda", lam,
                     "--n_iters", cmaes_iters, "--seed", seed,
                     "--run_signature", sig, *extra)
+                # beyond-reference: parallel-tempering PPDE (corrected rev)
+                add(f"{prot}/{expert}/PPDE-PT/s{seed}",
+                    "--protein", prot, "--sampler", "PPDE-PT",
+                    "--unsupervised_expert", expert, "--energy_lamda", lam,
+                    "--n_iters", n_iters, "--seed", seed,
+                    "--run_signature", f"{sig}_pt", *extra)
     return cells
 
 

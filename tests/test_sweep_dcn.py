@@ -9,8 +9,8 @@ def test_grid_is_deterministic():
     a = sweep_dcn.build_grid([1, 2], 100, 10)
     b = sweep_dcn.build_grid([1, 2], 100, 10)
     assert [c["name"] for c in a] == [c["name"] for c in b]
-    # 3 proteins x 6 samplers x 2 seeds
-    assert len(a) == 3 * 6 * 2
+    # 3 proteins x 7 samplers (incl. beyond-reference PPDE-PT) x 2 seeds
+    assert len(a) == 3 * 7 * 2
     assert len({c["name"] for c in a}) == len(a)
 
 
@@ -54,5 +54,5 @@ def test_dry_run_cli():
         capture_output=True, text=True, timeout=60)
     assert p.returncode == 0
     assert "host 1/4" in p.stdout
-    # 18 cells over 4 hosts -> 4 or 5 per host
-    assert "of 18 cells" in p.stdout
+    # 21 cells (3 proteins x 7 samplers) over 4 hosts -> 5 or 6 per host
+    assert "of 21 cells" in p.stdout
