@@ -43,6 +43,14 @@ from ppde_tpu.ops import attention_pallas
 # Full measurements in PERF.md.
 ATTENTION_IMPL: str | None = None
 
+# Sequence-parallel hook: when set (parallel/mesh.py sp_constraint via
+# runtime.apply_mesh(sp=...)), every forward_logits call without an explicit
+# ``constrain`` shards the residual stream's T axis over the mesh's sp axis.
+# Module-level knob by the same pattern as ATTENTION_IMPL: experts bake
+# their apply_fn closures into Energy at build time, so a contextual hook
+# reaches them without rebuilding.
+SP_CONSTRAIN = None
+
 # Canonical ESM alphabet (fair-esm proteinseq_toks + specials), index order.
 ESM_TOKS = [
     "<cls>", "<pad>", "<eos>", "<unk>",
@@ -181,8 +189,54 @@ def _attention(p, x, heads):
     return out @ p["o"]["w"] + p["o"]["b"]
 
 
+def embed_tokens(params, x_onehot: jnp.ndarray) -> jnp.ndarray:
+    """One-hot [B, T, 33] -> embedded residual stream [B, T, D].
+
+    Eval-mode semantics of the esm_one_hot fork: embedding is x @ E (so
+    gradients flow to x); token-dropout rescale uses the soft mask weight
+    x[..., MASK_IDX] (exact for one-hot inputs): zero masked embeddings,
+    scale by (1 - mask_ratio_train) / (1 - observed mask ratio).
+    """
+    dtype = params["embed"].dtype
+    x = x_onehot.astype(dtype)
+    h = x @ params["embed"]
+    mask_w = x_onehot[..., MASK_IDX].astype(jnp.float32)  # [B, T]
+    h = h * (1.0 - mask_w[..., None]).astype(dtype)
+    ratio = jnp.mean(mask_w, axis=-1, keepdims=True)      # [B, 1]
+    scale = (1.0 - MASK_RATIO_TRAIN) / (1.0 - ratio)
+    return h * scale[..., None].astype(dtype)
+
+
+def transformer_layer(layer, h, heads: int, approx_gelu: bool):
+    """One pre-LN rotary-attention transformer block on [B, T, D]."""
+    h = h + _attention(layer, _layer_norm(layer["attn_ln"], h), heads)
+    y = _layer_norm(layer["ffn_ln"], h)
+    y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
+                    approximate=approx_gelu)
+    return h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
+
+
+def lm_head(params, h: jnp.ndarray, approx_gelu: bool) -> jnp.ndarray:
+    """Residual stream [B, T, D] -> tied-embedding LM logits [B, T, 33]."""
+    h = _layer_norm(params["final_ln"], h)
+    y = jax.nn.gelu(h @ params["lm_dense"]["w"] + params["lm_dense"]["b"],
+                    approximate=approx_gelu)
+    y = _layer_norm(params["lm_ln"], y)
+    logits = jnp.einsum("btd,vd->btv", y.astype(jnp.float32),
+                        params["embed"].astype(jnp.float32))
+    return logits + params["lm_bias"]
+
+
+def _use_approx_gelu(params) -> bool:
+    # exact erf-gelu for f32 params (fair-esm numeric parity); tanh-gelu at
+    # bf16, where the approximation error (~1e-3) is below bf16 resolution
+    # and the erf transcendental costs ~10 ms per forward (measured)
+    return params["embed"].dtype == jnp.bfloat16
+
+
 def forward_logits(params, x_onehot: jnp.ndarray,
-                   heads: int = 20, remat: bool = False) -> jnp.ndarray:
+                   heads: int = 20, remat: bool = False,
+                   constrain=None) -> jnp.ndarray:
     """One-hot [B, T, 33] -> LM logits [B, T, 33] (fp32).
 
     ``heads`` is static — architecture config stays OUT of the params pytree
@@ -196,50 +250,33 @@ def forward_logits(params, x_onehot: jnp.ndarray,
     reference's minibatch-8 loop plays, energy.py:77 — but chunking costs
     4.5x on TPU, PERF.md round 3).
 
-    Eval-mode semantics of the esm_one_hot fork: embedding is x @ E (so
-    gradients flow to x); token-dropout rescale uses the soft mask weight
-    x[..., MASK_IDX] (exact for one-hot inputs).
+    ``constrain``: optional hook applied to the residual stream after the
+    embedding and after every layer — used for sequence-parallel (sp)
+    activation sharding (parallel/mesh.py sp_constraint): LN/FFN/rotary run
+    T-sharded, and GSPMD inserts the gathers attention needs.
     """
-    dtype = params["embed"].dtype
-    x = x_onehot.astype(dtype)
-    h = x @ params["embed"]
-    # token dropout rescale (ESM2 eval): zero masked embeddings, scale by
-    # (1 - mask_ratio_train) / (1 - observed mask ratio)
-    mask_w = x_onehot[..., MASK_IDX].astype(jnp.float32)  # [B, T]
-    h = h * (1.0 - mask_w[..., None]).astype(dtype)
-    ratio = jnp.mean(mask_w, axis=-1, keepdims=True)      # [B, 1]
-    scale = (1.0 - MASK_RATIO_TRAIN) / (1.0 - ratio)
-    h = h * scale[..., None].astype(dtype)
-
-    # exact erf-gelu for f32 params (fair-esm numeric parity); tanh-gelu at
-    # bf16, where the approximation error (~1e-3) is below bf16 resolution
-    # and the erf transcendental costs ~10 ms per forward (measured)
-    approx_gelu = dtype == jnp.bfloat16
+    h = embed_tokens(params, x_onehot)
+    approx_gelu = _use_approx_gelu(params)
+    if constrain is None:
+        constrain = SP_CONSTRAIN
+    c = constrain if constrain is not None else (lambda h: h)
+    h = c(h)
 
     def one_layer(layer, h):
-        h = h + _attention(layer, _layer_norm(layer["attn_ln"], h), heads)
-        y = _layer_norm(layer["ffn_ln"], h)
-        y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
-                        approximate=approx_gelu)
-        return h + (y @ layer["fc2"]["w"] + layer["fc2"]["b"])
+        return transformer_layer(layer, h, heads, approx_gelu)
 
     step = jax.checkpoint(one_layer) if remat else one_layer
     for layer in params["layers"]:
-        h = step(layer, h)
+        h = c(step(layer, h))
 
-    h = _layer_norm(params["final_ln"], h)
-    y = jax.nn.gelu(h @ params["lm_dense"]["w"] + params["lm_dense"]["b"],
-                    approximate=approx_gelu)
-    y = _layer_norm(params["lm_ln"], y)
-    logits = jnp.einsum("btd,vd->btv", y.astype(jnp.float32),
-                        params["embed"].astype(jnp.float32))
-    return logits + params["lm_bias"]
+    return lm_head(params, h, approx_gelu)
 
 
 def pseudo_log_likelihood(params, x_onehot: jnp.ndarray,
-                          heads: int = 20, remat: bool = False) -> jnp.ndarray:
+                          heads: int = 20, remat: bool = False,
+                          constrain=None) -> jnp.ndarray:
     """sum_i x_i . log_softmax(logits_i) per sequence (nets.py:221-233)."""
-    logits = forward_logits(params, x_onehot, heads, remat)
+    logits = forward_logits(params, x_onehot, heads, remat, constrain)
     lp = jax.nn.log_softmax(logits, -1)
     return jnp.sum(x_onehot.astype(jnp.float32) * lp, axis=(1, 2))
 

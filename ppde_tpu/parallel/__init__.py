@@ -1,3 +1,3 @@
 """Multi-chip scaling: mesh construction and sharding policies."""
 
-from ppde_tpu.parallel import mesh  # noqa: F401
+from ppde_tpu.parallel import mesh, pipeline  # noqa: F401

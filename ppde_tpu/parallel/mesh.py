@@ -11,12 +11,18 @@ batching (SURVEY.md §2.3). The TPU-native scaling story:
   * **tp (features)** — the dominant Potts matmul x@W shards the coupling
     matrix column-wise; XLA inserts the reduce over tp for the energy
     contraction.
-  * pp / sp — not needed for this workload (models <=650M params, sequences
-    <=238 AA; documented out of scope in SURVEY.md §2.3/§5).
+  * **sp (sequence)** — the transformer residual stream [B, T, D] shards
+    its T axis (``sp_constraint`` + esm2.forward_logits's ``constrain``
+    hook): LN/FFN/rotary run sequence-sharded and GSPMD inserts the
+    gathers attention needs. Activation memory per device drops by sp.
+  * **pp (layers)** — the ESM2 layer stack splits into pipeline stages
+    with a GPipe microbatch schedule over ``lax.ppermute``
+    (parallel/pipeline.py) for experts that outgrow one chip's HBM.
 
 Everything here follows the annotate-and-let-GSPMD-insert-collectives
-recipe: build a Mesh, place inputs with NamedSharding, jit the same pure
-functions used single-chip.
+recipe (pp, which needs an explicit schedule, uses shard_map): build a
+Mesh, place inputs with NamedSharding, jit the same pure functions used
+single-chip.
 """
 from __future__ import annotations
 
@@ -26,16 +32,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int | None = None, ep: int = 1, tp: int = 1,
-              devices=None) -> Mesh:
-    """Build a (dp, ep, tp) mesh; dp defaults to all remaining devices."""
+              sp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, ep, tp, sp, pp) mesh; dp defaults to all remaining
+    devices. Size-1 axes cost nothing — specs that never mention sp/pp
+    behave exactly as on the old 3-axis mesh."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    rest = ep * tp * sp * pp
     if dp is None:
-        assert n % (ep * tp) == 0, (n, ep, tp)
-        dp = n // (ep * tp)
-    assert dp * ep * tp == n, (dp, ep, tp, n)
-    arr = np.asarray(devices).reshape(dp, ep, tp)
-    return Mesh(arr, axis_names=("dp", "ep", "tp"))
+        assert n % rest == 0, (n, ep, tp, sp, pp)
+        dp = n // rest
+    assert dp * rest == n, (dp, ep, tp, sp, pp, n)
+    arr = np.asarray(devices).reshape(dp, ep, tp, sp, pp)
+    return Mesh(arr, axis_names=("dp", "ep", "tp", "sp", "pp"))
 
 
 def shard_chains(x, mesh: Mesh):
@@ -73,6 +82,22 @@ def shard_potts(potts_params, mesh: Mesh):
 
 def replicated(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def sp_constraint(mesh: Mesh, batch_axis: str | None = "dp",
+                  seq_axis: str = "sp"):
+    """Sequence-parallel activation constraint for transformer residual
+    streams [B, T, D]: T shards over ``seq_axis`` (B over ``batch_axis``).
+    Pass as esm2.forward_logits(..., constrain=sp_constraint(mesh)) —
+    LN/FFN/rotary then compute on T/sp slices and activation memory per
+    device drops by sp; GSPMD inserts the (all-)gathers attention needs.
+    """
+    sharding = NamedSharding(mesh, P(batch_axis, seq_axis, None))
+
+    def constrain(h):
+        return jax.lax.with_sharding_constraint(h, sharding)
+
+    return constrain
 
 
 def shard_esm(esm_params, mesh: Mesh):

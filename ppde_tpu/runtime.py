@@ -147,8 +147,13 @@ def dump_config(args, path):
 
 
 def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1,
-               ep: int = 1):
-    """Shard a built energy + population over a (dp, ep, tp) device mesh.
+               ep: int = 1, sp: int = 1):
+    """Shard a built energy + population over a (dp, ep, tp, sp) device mesh.
+
+    ``sp`` > 1 turns on sequence parallelism for transformer experts: the
+    ESM2 residual stream's T axis shards over the sp mesh axis via the
+    module-level esm2.SP_CONSTRAIN hook (the apply_fn closures baked into
+    the Energy pick it up without rebuilding; parallel/mesh.sp_constraint).
 
     The TPU-native scaling path (SURVEY.md §2.3): chains shard over dp
     (embarrassingly parallel), the Potts coupling matmul shards over tp,
@@ -166,7 +171,11 @@ def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1,
     """
     from ppde_tpu.parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp)
+    mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp, sp=sp)
+    if sp > 1:
+        from ppde_tpu.models import esm2
+
+        esm2.SP_CONSTRAIN = pmesh.sp_constraint(mesh)
     params = dict(energy.params)
     if "potts" in params and tp > 1:
         params["potts"] = pmesh.shard_potts(params["potts"], mesh)

@@ -98,10 +98,11 @@ def main(args):
     print(f"WT protein energy: {float(e0.mean()):.3f}", flush=True)
 
     runner = get_sampler_runner(args)
-    if args.mesh_dp or args.mesh_tp > 1 or args.mesh_ep > 1:
+    if args.mesh_dp or args.mesh_tp > 1 or args.mesh_ep > 1 \
+            or args.mesh_sp > 1:
         mesh, energy, pop = runtime.apply_mesh(
             energy, pop, dp=args.mesh_dp or None, tp=args.mesh_tp,
-            ep=args.mesh_ep)
+            ep=args.mesh_ep, sp=args.mesh_sp)
         print(f"mesh: {dict(mesh.shape)}", flush=True)
         with mesh:
             res = runner(energy=energy, initial_population=pop,
@@ -217,6 +218,11 @@ def build_parser():
                    help="shard stacked supervised-ensemble members over an "
                         "ep axis (member count must divide it; the default "
                         "3-member ensembles replicate unless ep is 3)")
+    g.add_argument("--mesh_sp", type=int, default=1,
+                   help="sequence parallelism for transformer experts: "
+                        "shard the ESM2 residual stream's T axis over an "
+                        "sp axis (activation memory / LN+FFN compute per "
+                        "device drop by sp)")
     g.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
                    help="supervised-CNN compute precision (bf16 ~2x faster; "
                         "the reference uses AMP for its transformers)")
