@@ -33,6 +33,13 @@ from ppde_tpu.models import cnn, mnist_nets
 from ppde_tpu.models import potts as potts_mod
 from ppde_tpu.ops import cnn_pallas
 
+# Cap on python-unrolled transformer chunk bodies per compiled program:
+# compile time scales with the inline copy count (through the remote
+# tunnel: ~3-4 min per novel shape), and the unroll's scheduling win was
+# measured in the 8-chunk regime (B=128 / chunk 16). Larger batches run
+# lax.map over groups of this many unrolled chunks.
+MAX_UNROLLED_CHUNKS = 8
+
 
 @dataclass(frozen=True)
 class Energy:
@@ -146,11 +153,35 @@ def protein_poe(potts_params: potts_mod.PottsParams | None, sup_ensemble,
         # latency-bound hd=24 attention cores (marginal chunk ~4.6 ms vs
         # 30.8 for one alone); a rolled lax.map loop cannot overlap
         # iterations (chunking also bounds 650M vjp-residual memory).
+        # The unroll is CAPPED at MAX_UNROLLED_CHUNKS bodies: HLO size
+        # (and the remote tunnel's ~3-4 min/novel-shape compile) scales
+        # with the inline copy count, and the ILP win was measured in the
+        # 8-chunk regime. Beyond the cap, lax.map over GROUPS of
+        # MAX_UNROLLED_CHUNKS unrolled chunks — one compiled group body,
+        # full ILP within a group, linear scaling across groups.
         n = x.shape[0]
-        outs = [one_chunk(x[i:i + chunk_size])
-                for i in range(0, n, chunk_size)]
-        return (jnp.concatenate([e for e, _ in outs]),
-                jnp.concatenate([g for _, g in outs]))
+        n_chunks = -(-n // chunk_size)
+        if n_chunks <= MAX_UNROLLED_CHUNKS:
+            outs = [one_chunk(x[i:i + chunk_size])
+                    for i in range(0, n, chunk_size)]
+            return (jnp.concatenate([e for e, _ in outs]),
+                    jnp.concatenate([g for _, g in outs]))
+        group = chunk_size * MAX_UNROLLED_CHUNKS
+        n_pad = -(-n // group) * group
+        xp = (jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (n_pad - n,) + x.shape[1:])])
+            if n_pad > n else x)
+        xg = xp.reshape(n_pad // group, group, *x.shape[1:])
+
+        def group_fn(xgrp):
+            outs = [one_chunk(xgrp[i:i + chunk_size])
+                    for i in range(0, group, chunk_size)]
+            return (jnp.concatenate([e for e, _ in outs]),
+                    jnp.concatenate([g for _, g in outs]))
+
+        es, gs = jax.lax.map(group_fn, xg)
+        return (es.reshape(n_pad)[:n],
+                gs.reshape(n_pad, *x.shape[1:])[:n])
 
     def energy_and_grad(p, x):
         fit, fit_grad = _fit_and_grad(p, x, compute_dtype, fused_cnn,

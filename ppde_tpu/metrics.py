@@ -119,7 +119,10 @@ QUANTS = [0.5, 0.6, 0.7, 0.8, 0.9]
 def mnist_scores_to_csv(pred_scores, oracle_scores, method: str, args):
     import pandas as pd
 
-    xs = np.asarray([i * args.log_every for i in range(pred_scores.shape[0])])
+    # clamp the tail: the last record sits at n_iters when the final scan
+    # segment is ragged (n_iters % log_every != 0)
+    xs = np.minimum(np.arange(pred_scores.shape[0]) * args.log_every,
+                    args.n_iters)
     for name, scores in [("pred_sums", pred_scores),
                          ("oracle_sums", oracle_scores)]:
         q = np.quantile(scores, QUANTS, axis=1)
@@ -132,7 +135,8 @@ def mnist_performance_plots(pred_scores, oracle_scores, method: str, args):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    xs = [i * args.log_every for i in range(pred_scores.shape[0])]
+    xs = np.minimum(np.arange(pred_scores.shape[0]) * args.log_every,
+                    args.n_iters)
     pq = np.quantile(pred_scores, QUANTS, axis=1)
     oq = np.quantile(oracle_scores, QUANTS, axis=1)
     plt.figure()

@@ -57,6 +57,22 @@ def load_supervised_ensemble(protein_dir: str, n_members: int = 3):
                         torch_convert.onehot_cnn_ensemble(paths))
 
 
+def resolve_esm_chunk(esm_chunk: int, has_transformer: bool,
+                      n_chains: int) -> int | None:
+    """Map the --esm_chunk flag to an energy chunk_size.
+
+    0 -> auto: 16 when a transformer expert is present and the population
+    is big enough to chunk (the measured optimum, see the table at the
+    call site); otherwise monolithic. -1 -> force monolithic. Positive ->
+    use as given.
+    """
+    if esm_chunk < 0:
+        return None  # explicit monolithic
+    if esm_chunk > 0:
+        return esm_chunk
+    return 16 if (has_transformer and n_chains > 16) else None
+
+
 def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
     """Construct (energy, oracle=(params, apply)) for a protein run.
 
@@ -104,11 +120,10 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
         # 93.7 (the reference's minibatch pattern, energy.py:114-130, as a
         # sequential device loop) / monolithic 105.0. Default 16 — the
         # honest optimum, confirmed by step-level timing (62.9 ms @16 <
-        # 64.5 @8). energy.py always unrolls; --esm_chunk overrides
-        # (0 = this default).
-        chunk = getattr(args, "esm_chunk", 0) or None
-        if chunk is None and transformer is not None and args.n_chains > 16:
-            chunk = 16
+        # 64.5 @8). --esm_chunk overrides (0 = this default, -1 = force
+        # monolithic).
+        chunk = resolve_esm_chunk(getattr(args, "esm_chunk", 0),
+                                  transformer is not None, args.n_chains)
         en = energy_mod.protein_poe(
             pp if use_potts else None, sup, args.energy_lamda, wt_onehot,
             transformer=transformer, chunk_size=chunk,
@@ -172,10 +187,12 @@ def apply_mesh(energy: energy_mod.Energy, pop, dp: int | None, tp: int = 1,
     from ppde_tpu.parallel import mesh as pmesh
 
     mesh = pmesh.make_mesh(dp=dp, ep=ep, tp=tp, sp=sp)
-    if sp > 1:
-        from ppde_tpu.models import esm2
+    # set OR CLEAR the hook every call: a later apply_mesh (or a fresh
+    # single-device energy) in the same process must not inherit a
+    # constraint closed over a stale mesh
+    from ppde_tpu.models import esm2
 
-        esm2.SP_CONSTRAIN = pmesh.sp_constraint(mesh)
+    esm2.SP_CONSTRAIN = pmesh.sp_constraint(mesh) if sp > 1 else None
     params = dict(energy.params)
     if "potts" in params and tp > 1:
         params["potts"] = pmesh.shard_potts(params["potts"], mesh)

@@ -147,5 +147,5 @@ def run(energy: Energy, initial_population: jnp.ndarray, num_steps: int,
         random_traj=None, final_x=final,
         oracle_history=(np.stack(oracle_history, 0) if oracle_history
                         else np.zeros((0,))),
-        steps_per_sec=num_steps / max(elapsed, 1e-9),
+        steps_per_sec=(num_steps - start_step) / max(elapsed, 1e-9),  # generations actually run this process (resume-aware)
     )

@@ -207,8 +207,9 @@ def build_parser():
                         "gradient parity; ~2%% slower, PERF.md)")
     g.add_argument("--esm_chunk", type=int, default=0,
                    help="chunk the transformer energy over this many chains "
-                        "(0 = monolithic; chunking measured 4.5x slower on "
-                        "TPU, use only when memory-constrained — PERF.md)")
+                        "(0 = auto: 16, the measured optimum — unrolled "
+                        "chunks beat monolithic 63 vs 105 ms at B=128, "
+                        "PERF.md; -1 = force one monolithic evaluation)")
     g.add_argument("--mesh_dp", type=int, default=0,
                    help="shard chains over a dp-axis device mesh of this "
                         "size (0 = single device); chains must divide it")

@@ -182,11 +182,17 @@ def main(args):
     # samplers record fitness EVERY step; CMA-ES records at log cadence
     # already — derive the stride from the recorded lengths so CSV step
     # labels are correct for both.
-    stride = max(1, (len(res.fitness_history) - 1)
-                 // max(1, len(res.oracle_history) - 1)) \
-        if len(res.oracle_history) > 1 else max(1, args.log_every)
-    fit_hist = res.fitness_history[::stride]
     orc_hist = res.oracle_history
+    if len(res.fitness_history) > len(orc_hist) >= 1:
+        # MCMC: fitness row s == step s (fit0 prepended); oracle recorded
+        # at segment boundaries [0, log_every, ..., n_iters] (tail segment
+        # may be ragged when n_iters % log_every != 0 — a uniform stride
+        # would misalign every row after the first in that case)
+        steps = np.minimum(np.arange(len(orc_hist)) * args.log_every,
+                           len(res.fitness_history) - 1)
+        fit_hist = res.fitness_history[steps]
+    else:
+        fit_hist = res.fitness_history  # CMA-ES: already log-cadence
     n = min(len(fit_hist), len(orc_hist))
     if "plots" in m and n > 0:
         metrics.mnist_performance_plots(fit_hist[:n], orc_hist[:n], abbrv, args)

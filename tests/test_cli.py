@@ -158,3 +158,17 @@ def test_mnist_sum_ppde_pt_end_to_end(tmp_path):
     files = os.listdir(tmp_path)
     assert any(f.startswith("PPDE-PT") and f.endswith("_pred_sums.csv")
                for f in files)
+
+
+def test_resolve_esm_chunk():
+    """--esm_chunk flag semantics: 0 = auto (16 only when a transformer is
+    present and the population out-sizes one chunk), -1 = force monolithic,
+    positive = verbatim."""
+    from ppde_tpu.runtime import resolve_esm_chunk
+
+    assert resolve_esm_chunk(0, True, 128) == 16
+    assert resolve_esm_chunk(0, True, 16) is None   # fits one chunk
+    assert resolve_esm_chunk(0, False, 128) is None  # no transformer
+    assert resolve_esm_chunk(-1, True, 128) is None  # explicit monolithic
+    assert resolve_esm_chunk(8, True, 128) == 8
+    assert resolve_esm_chunk(8, False, 4) == 8

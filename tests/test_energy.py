@@ -83,6 +83,23 @@ def test_protein_poe_chunked_transformer_path(rng):
             np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                        rtol=1e-5, atol=1e-6)
 
+    # beyond MAX_UNROLLED_CHUNKS the path switches to lax.map over groups
+    # of unrolled chunks (bounded HLO at large n_chains) — must still be
+    # exact, including group-level padding (40 rows, chunk 2 -> 20 chunks
+    # -> 3 groups of 16 with an 8-row pad)
+    x_big = jnp.asarray(codec.ints_to_onehot(
+        rng.integers(0, 20, (40, len(WT)))))
+    a_big = e1.energy_and_grad(e1.params, x_big)
+    assert 40 // 2 > energy_mod.MAX_UNROLLED_CHUNKS
+    for chunk in (2, 3):
+        e2 = energy_mod.protein_poe(pp, ens, 1.0, wt_oh,
+                                    transformer=(w, toy_transformer),
+                                    chunk_size=chunk)
+        b_big = e2.energy_and_grad(e2.params, x_big)
+        for u, v in zip(a_big, b_big):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-5, atol=1e-6)
+
 
 def test_mnist_poe_grad(rng):
     ens = mnist_nets.regression_init_ensemble(jax.random.PRNGKey(0), 2, nc=4)

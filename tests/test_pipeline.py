@@ -164,3 +164,26 @@ def test_apply_mesh_sp_transformer_energy_matches_replicated():
                                        rtol=2e-4, atol=2e-5)
     finally:
         esm2.SP_CONSTRAIN = None
+
+
+def test_apply_mesh_without_sp_clears_stale_hook():
+    """A later apply_mesh in the same process must not inherit an
+    SP_CONSTRAIN closed over a previous (possibly dead) mesh — apply_mesh
+    sets OR CLEARS the hook on every call."""
+    from ppde_tpu import codec, energy as energy_mod, runtime
+    from ppde_tpu.models import cnn, potts
+
+    WT = "ACDEFGHIKLMNPQRSTVWYACDEFGHIKLMN"
+    pp = potts.synthetic(WT, seed=0)
+    ens = cnn.init_ensemble(jax.random.PRNGKey(0), 4, input_size=len(WT))
+    wt_oh = jnp.asarray(codec.seqs_to_onehot([WT]))
+    en = energy_mod.protein_poe(pp, ens, 1.0, wt_oh)
+    pop = jnp.repeat(wt_oh, 8, axis=0)
+
+    try:
+        runtime.apply_mesh(en, pop, dp=4, sp=2)
+        assert esm2.SP_CONSTRAIN is not None
+        runtime.apply_mesh(en, pop, dp=8)
+        assert esm2.SP_CONSTRAIN is None
+    finally:
+        esm2.SP_CONSTRAIN = None

@@ -64,3 +64,29 @@ def test_success_passes_through(tmp_path):
     p, _ = run(str(f))
     assert p.returncode == 0
     assert "hello from tpu_run" in p.stdout
+
+
+def test_stdout_stays_clean_of_stderr(tmp_path):
+    """bench.py's one-JSON-line stdout contract: warnings/tracebacks on
+    stderr must NOT interleave into stdout (| jq consumers)."""
+    f = tmp_path / "noisy.py"
+    f.write_text(
+        "import sys\n"
+        "sys.stderr.write('WARNING: spurious platform chatter\\n')\n"
+        "print('{\"metric\": \"x\", \"value\": 1}')\n")
+    p, _ = run(str(f))
+    assert p.returncode == 0
+    assert p.stdout.strip() == '{"metric": "x", "value": 1}'
+    assert "chatter" in p.stderr
+
+
+def test_plain_word_claim_in_crash_is_not_retried(tmp_path):
+    """An app-level assertion that merely contains the word 'claim' is a
+    real failure, not a TPU claim race."""
+    f = tmp_path / "claimword.py"
+    f.write_text(
+        "raise AssertionError('checkpoint claims 3 members, got 4')\n")
+    p, dt = run(str(f))
+    assert p.returncode == 1
+    assert "not retrying" in p.stderr
+    assert dt < 30

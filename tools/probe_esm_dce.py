@@ -25,42 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GFP_WT = (
-    "SKGEELFTGVVPILVELDGDVNGHKFSVSGEGEGDATYGKLTLKFICTTGKLPVPWPTLVTTLSYGVQCFSRY"
-    "PDHMKQHDFFKSAMPEGYVQERTIFFKDDGNYKTRAEVKFEGDTLVNRIELKGIDFKEDGNILGHKLEYNYNS"
-    "HNVYIMADKQKNGIKVNFKIRHNIEDGSVQLADHYQQNTPIGDGPVLLPDNHYLSTQSALSKDPNEKRDHMVL"
-    "LEFVTAAGITHGMDELYK"
-)
-
-
-def dep(s, val):
-    import jax.numpy as jnp
-
-    pred = ~jnp.isfinite(val)
-    return jnp.where(pred, s + 1.0, s)
-
-
-def timeit(name, fn, state, key, iters, reps=3):
-    import jax
-
-    keys = jax.random.split(key, iters)
-    run = jax.jit(lambda s, ks: jax.lax.scan(fn, s, ks))
-    try:
-        out = run(state, keys)
-        _ = float(jax.numpy.asarray(out[1]).reshape(-1)[-1])
-    except Exception as e:
-        print(f"{name:52s}   FAILED: {type(e).__name__}: {str(e)[:140]}",
-              flush=True)
-        return None
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s, ys = run(state, keys)
-        _ = float(jax.numpy.asarray(ys).reshape(-1)[-1])
-        best = min(best, time.perf_counter() - t0)
-    ms = best / iters * 1e3
-    print(f"{name:52s} {ms:8.2f} ms/iter", flush=True)
-    return ms
+from tools._bench_common import GFP_WT, dep, timeit  # noqa: E402
+import functools  # noqa: E402
+timeit = functools.partial(timeit, width=52)
 
 
 def main():

@@ -16,50 +16,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GFP_WT = (
-    "SKGEELFTGVVPILVELDGDVNGHKFSVSGEGEGDATYGKLTLKFICTTGKLPVPWPTLVTTLSYGVQCFSRY"
-    "PDHMKQHDFFKSAMPEGYVQERTIFFKDDGNYKTRAEVKFEGDTLVNRIELKGIDFKEDGNILGHKLEYNYNS"
-    "HNVYIMADKQKNGIKVNFKIRHNIEDGSVQLADHYQQNTPIGDGPVLLPDNHYLSTQSALSKDPNEKRDHMVL"
-    "LEFVTAAGITHGMDELYK"
-)
-
-
-def dep(s, val):
-    """Re-inject ``val`` into the carry WITHOUT changing its value, via a
-    runtime-false predicate XLA cannot fold. CRITICAL: a scan body whose
-    carry does not depend on the measured computation gets hoisted out of
-    the loop by XLA LICM (pure-XLA bodies only — pallas calls and inner
-    while-loops block it), and the probe then times ONE evaluation
-    amortized over the scan length. Discovered round 3: monolithic ESM2
-    probes read 15 ms/iter while the real dependency-chained sampler step
-    paid 92 ms."""
-    import jax.numpy as jnp
-
-    pred = ~jnp.isfinite(val)  # runtime false for finite results
-    return jnp.where(pred, s + 1.0, s)
-
-
-def timeit(name, fn, state, key, iters, reps=3):
-    import jax
-
-    keys = jax.random.split(key, iters)
-    run = jax.jit(lambda s, ks: jax.lax.scan(fn, s, ks))
-    try:
-        out = run(state, keys)
-        _ = float(jax.numpy.asarray(out[1]).reshape(-1)[-1])
-    except Exception as e:
-        print(f"{name:46s}   FAILED: {type(e).__name__}: {str(e)[:140]}",
-              flush=True)
-        return None
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s, ys = run(state, keys)
-        _ = float(jax.numpy.asarray(ys).reshape(-1)[-1])
-        best = min(best, time.perf_counter() - t0)
-    ms = best / iters * 1e3
-    print(f"{name:46s} {ms:8.2f} ms/iter", flush=True)
-    return ms
+from tools._bench_common import GFP_WT, dep, timeit  # noqa: E402
+import functools  # noqa: E402
+timeit = functools.partial(timeit, width=46)
 
 
 def main():

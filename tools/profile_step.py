@@ -15,37 +15,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GFP_WT = (
-    "SKGEELFTGVVPILVELDGDVNGHKFSVSGEGEGDATYGKLTLKFICTTGKLPVPWPTLVTTLSYGVQCFSRY"
-    "PDHMKQHDFFKSAMPEGYVQERTIFFKDDGNYKTRAEVKFEGDTLVNRIELKGIDFKEDGNILGHKLEYNYNS"
-    "HNVYIMADKQKNGIKVNFKIRHNIEDGSVQLADHYQQNTPIGDGPVLLPDNHYLSTQSALSKDPNEKRDHMVL"
-    "LEFVTAAGITHGMDELYK"
-)
-
-
-def timeit(name, fn, state, key, iters, reps=3):
-    import jax
-
-    keys = jax.random.split(key, iters)
-
-    def scan(state, keys):
-        def body(s, k):
-            s2, out = fn(s, k)
-            return s2, out
-        return jax.lax.scan(body, state, keys)
-
-    run = jax.jit(scan)
-    out = run(state, keys)  # compile + warmup
-    _ = float(jax.numpy.asarray(out[1]).reshape(-1)[-1])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s, ys = run(state, keys)
-        _ = float(jax.numpy.asarray(ys).reshape(-1)[-1])
-        best = min(best, time.perf_counter() - t0)
-    ms = best / iters * 1e3
-    print(f"{name:52s} {ms:8.3f} ms/iter", flush=True)
-    return ms
+from tools._bench_common import GFP_WT, dep, timeit  # noqa: E402
+import functools  # noqa: E402
+timeit = functools.partial(timeit, width=52)
 
 
 def main():
