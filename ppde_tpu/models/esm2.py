@@ -290,7 +290,11 @@ def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
     remat: None = auto (per-layer jax.checkpoint for transformer-L only —
     required to fit the 650M monolithic-batch vjp; net-negative for S/M)."""
     if weights_path is not None:
-        params = load_torch_checkpoint(weights_path, name, dtype)
+        if weights_path.endswith(".npz"):
+            # native ppde_tpu checkpoint (scripts/finetune_esm.py output)
+            params = load_npz_checkpoint(weights_path, name, dtype)
+        else:
+            params = load_torch_checkpoint(weights_path, name, dtype)
     elif allow_random:
         params = init(jax.random.PRNGKey(0), name, dtype)
     else:
@@ -313,6 +317,69 @@ def load_expert(name: str, wt_seq: str, weights_path: str | None = None,
                 - params["wt_score"])
 
     return params, apply_fn
+
+
+# ---------------------------------------------------------------------------
+# mixed precision + native checkpoints (the fine-tuning path)
+# ---------------------------------------------------------------------------
+
+# Pytree keys whose leaves stay fp32 under cast_params: LayerNorm affines
+# and the LM-head bias (the init()/from_state_dict layout keeps them fp32
+# for numerics), plus expert-time extras.
+_F32_KEYS = frozenset(
+    {"attn_ln", "ffn_ln", "final_ln", "lm_ln", "lm_bias", "wt_score"})
+
+
+def cast_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Cast the matmul weights (embed, q/k/v/o, fc1/fc2, lm_dense, perm) to
+    ``dtype``, keeping LayerNorm affines and the LM-head bias fp32 — the
+    same layout init()/from_state_dict produce directly. Used by the MLM
+    fine-tuning loop (training.train_esm_mlm) for the standard
+    mixed-precision recipe: fp32 master params + optimizer state, bf16
+    compute params re-derived every step (the TPU-native analog of the
+    reference's CUDA AMP autocast, nets.py:230)."""
+    def leaf(path, a):
+        names = {getattr(k, "key", None) for k in path}
+        if names & _F32_KEYS:
+            return a
+        return a.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def save_npz_checkpoint(path: str, params: dict, step: int = 0):
+    """Save params as a flattened-pytree npz (training.save_ckpt layout:
+    leaves p0..pN in init() tree order + step). Weights are upcast to fp32
+    so a saved bf16 compute tree round-trips into an fp32 master."""
+    flat, treedef = jax.tree.flatten(jax.device_get(params))
+    np.savez_compressed(
+        path, step=step, treedef=str(treedef),
+        **{f"p{i}": np.asarray(a, np.float32) for i, a in enumerate(flat)})
+
+
+def load_npz_checkpoint(path: str, name: str, dtype=jnp.bfloat16) -> dict:
+    """Load a native ppde_tpu ESM2 checkpoint (save_npz_checkpoint /
+    training.save_ckpt npz layout) with per-leaf shape validation against
+    the ``name`` architecture, mapped to the usual mixed layout (weights in
+    ``dtype``, LayerNorm/lm_bias fp32)."""
+    z = np.load(path, allow_pickle=False)
+    like = jax.eval_shape(
+        lambda: init(jax.random.PRNGKey(0), name, jnp.float32))
+    flat, treedef = jax.tree.flatten(like)
+    n_stored = len([k for k in z.files if k.startswith("p")])
+    if n_stored != len(flat):
+        raise ValueError(
+            f"{path}: {n_stored} leaves but config '{name}' has "
+            f"{len(flat)} — wrong architecture for this checkpoint")
+    leaves = []
+    for i, ref in enumerate(flat):
+        a = z[f"p{i}"]
+        if tuple(a.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"{path}: leaf p{i} has shape {tuple(a.shape)}, config "
+                f"'{name}' expects {tuple(ref.shape)}")
+        leaves.append(jnp.asarray(a, jnp.float32))
+    return cast_params(jax.tree.unflatten(treedef, leaves), dtype)
 
 
 # ---------------------------------------------------------------------------

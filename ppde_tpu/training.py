@@ -200,6 +200,151 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# ESM2 masked-LM fine-tuning (family-specific transformer experts)
+# ---------------------------------------------------------------------------
+
+def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
+                  n_iters: int = 2000, batch_size: int = 32,
+                  lr: float = 1e-4, warmup: int = 100,
+                  weight_decay: float = 0.01, mask_prob: float = 0.15,
+                  seed: int = 0, log_every: int = 100,
+                  ckpt_path: str | None = None, ckpt_every: int = 1000,
+                  resume: str | None = None, quiet: bool = False,
+                  chunk: int = 25, compute_dtype=jnp.bfloat16,
+                  mesh=None, remat: bool | None = None):
+    """Fine-tune (or pretrain) an ESM2 expert on a sequence family with the
+    BERT/ESM masked-LM objective.
+
+    The reference consumes a FROZEN external fork (esm_one_hot, reference
+    nets.py:172-240) and has no way to make the expert family-specific;
+    this is the native capability: fine-tune on the protein's own MSA, save
+    a .npz the expert loads via --esm_weights (esm2.load_npz_checkpoint).
+
+    * ``seqs``: list of equal-length AA strings (e.g. io.load_msa focus
+      columns — alignment gaps map to the ESM '-' token) or an int token
+      array [M, T]. Sequences are in the EXPERT's format — no cls/eos,
+      matching the scoring path (reference nets.py:189 strips them), so
+      train and eval see identical inputs.
+    * Masking: ``mask_prob`` of positions per step; of those 80% -> <mask>,
+      10% -> a random canonical AA, 10% kept. embed_tokens' token-dropout
+      rescale is exact train-mode ESM2 semantics under this corruption.
+    * Mixed precision: fp32 master params + optimizer state; compute
+      params re-cast to ``compute_dtype`` inside the loss each step
+      (esm2.cast_params — LN/lm_bias stay fp32). Pass
+      ``params=`` a converted fair-esm checkpoint to fine-tune the
+      published models; None initializes from scratch.
+    * ``mesh``: optional jax.sharding.Mesh with a 'dp' axis — the token
+      dataset and params are replicated, each per-step batch is constrained
+      to dp-sharded rows, and GSPMD inserts the gradient all-reduce
+      (tested vs single-device).
+    * ``remat``: None = auto (per-layer jax.checkpoint for transformer-L,
+      same policy as inference — required to fit the 650M vjp).
+
+    Returns fp32 master params; checkpoints are save_ckpt npz files that
+    esm2.load_npz_checkpoint validates per-leaf.
+    """
+    from ppde_tpu.models import esm2
+
+    if isinstance(seqs, np.ndarray):
+        toks = np.asarray(seqs, np.int32)
+    else:
+        unk = esm2.ESM_TOK_TO_IDX["<unk>"]
+        toks = np.asarray(
+            [[esm2.ESM_TOK_TO_IDX.get(c, unk) for c in s] for s in seqs],
+            np.int32)
+    if toks.ndim != 2:
+        raise ValueError("seqs must be equal-length (aligned) sequences")
+
+    heads = esm2.CONFIGS[name]["heads"]
+    if remat is None:
+        remat = name == "transformer-L"
+    if params is None:
+        params = esm2.init(jax.random.PRNGKey(seed), name, jnp.float32)
+    else:
+        params = jax.tree.map(  # fp32 master copy of whatever came in
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            params)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(n_iters, warmup + 1), end_value=0.1 * lr)
+    decay_mask = jax.tree.map(lambda a: jnp.ndim(a) >= 2, params)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=weight_decay, mask=decay_mask))
+    opt_state = opt.init(params)
+    start = 0
+    if resume:
+        params, start = load_ckpt(resume, params)
+        opt_state = opt.init(params)
+
+    data = jnp.asarray(toks)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = jax.device_put(data, repl)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    # canonical AA token range for the 10% random-replacement corruption
+    aa_lo = esm2.ESM_TOK_TO_IDX["L"]
+    aa_hi = esm2.ESM_TOK_TO_IDX["C"]
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        k_sel, k_mask, k_r, k_rnd = jax.random.split(key, 4)
+        sel = jax.random.randint(k_sel, (batch_size,), 0, data.shape[0])
+        tok = data[sel]                                       # [B, T]
+        is_sel = jax.random.uniform(k_mask, tok.shape) < mask_prob
+        r = jax.random.uniform(k_r, tok.shape)
+        rnd = jax.random.randint(k_rnd, tok.shape, aa_lo, aa_hi + 1)
+        corrupt = jnp.where(
+            is_sel & (r < 0.8), esm2.MASK_IDX,
+            jnp.where(is_sel & (r >= 0.9), rnd, tok))
+        x = jax.nn.one_hot(corrupt, esm2.ESM_VOCAB, dtype=jnp.float32)
+        tgt = jax.nn.one_hot(tok, esm2.ESM_VOCAB, dtype=jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("dp"))
+            x = jax.lax.with_sharding_constraint(x, shard)
+            tgt = jax.lax.with_sharding_constraint(tgt, shard)
+        w = is_sel.astype(jnp.float32)
+
+        def loss_fn(p_):
+            logits = esm2.forward_logits(
+                esm2.cast_params(p_, compute_dtype), x, heads, remat)
+            lp = jax.nn.log_softmax(logits, -1)
+            ce = -jnp.sum(tgt * lp, -1)                       # [B, T]
+            return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    key = jax.random.PRNGKey(seed + 3)
+    for done, size in _chunked(n_iters - start, chunk, log_every,
+                               ckpt_every):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state,
+                                            jax.random.split(k, size))
+        step = start + done + size
+        if not quiet and (step % log_every == 0 or step == n_iters):
+            print(f"[esm_mlm] iter {step} ce {float(loss):.4f} "
+                  f"ppl {float(jnp.exp(loss)):.2f}", flush=True)
+        if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
+            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # EBM (persistent contrastive divergence with GWG sampling)
 # ---------------------------------------------------------------------------
 
