@@ -383,6 +383,74 @@ def load_npz_checkpoint(path: str, name: str, dtype=jnp.bfloat16) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# LoRA adapters (parameter-efficient family fine-tuning)
+# ---------------------------------------------------------------------------
+
+# every per-layer matmul is adaptable; embed/lm_dense stay frozen (the LM
+# head is tied to embed — adapting it would drift the output vocabulary
+# geometry the PoE scores depend on)
+LORA_TARGETS = ("q", "k", "v", "o", "fc1", "fc2")
+
+
+def lora_init(key, name: str, rank: int, dtype=jnp.float32) -> dict:
+    """Zero-delta LoRA adapter tree for config ``name``: per layer and per
+    target matrix W [i, o], a down-projection a [i, r] (scaled normal) and
+    an up-projection b [r, o] (zeros) — so the initial merged model equals
+    the base exactly. The trainable state is 2·r·(i+o) per matrix instead
+    of i·o: at rank 8 on transformer-L that is ~0.6% of the 650M base,
+    which is what makes family fine-tuning of the reference's largest
+    expert (reference nets.py:174-181) fit one chip with optimizer state."""
+    cfg = CONFIGS[name]
+    D, F, N = cfg["dim"], cfg["ffn"], cfg["layers"]
+    shapes = {"q": (D, D), "k": (D, D), "v": (D, D), "o": (D, D),
+              "fc1": (D, F), "fc2": (F, D)}
+    keys = jax.random.split(key, N)
+
+    def one(k):
+        ks = jax.random.split(k, len(LORA_TARGETS))
+        out = {}
+        for kk, t in zip(ks, LORA_TARGETS):
+            i, o = shapes[t]
+            out[t] = {
+                "a": (jax.random.normal(kk, (i, rank)) /
+                      math.sqrt(i)).astype(dtype),
+                "b": jnp.zeros((rank, o), dtype),
+            }
+        return out
+
+    return {"layers": [one(k) for k in keys]}
+
+
+def lora_merge(params: dict, lora: dict, alpha: float = 16.0) -> dict:
+    """Merge adapters into a copy of ``params``: W' = W + (alpha/r)·a@b,
+    accumulated in fp32 and cast back to W's dtype. The merged tree has
+    the exact init() layout, so the whole expert/energy/sampler stack (and
+    save_npz_checkpoint) consumes it unchanged — zero inference-time cost."""
+    merged = {k: v for k, v in params.items()}
+    if len(lora["layers"]) != len(params["layers"]):
+        raise ValueError(
+            f"LoRA tree has {len(lora['layers'])} layers, params have "
+            f"{len(params['layers'])}")
+    out_layers = []
+    for lp, la in zip(params["layers"], lora["layers"]):
+        lnew = {k: v for k, v in lp.items()}
+        for t in LORA_TARGETS:
+            a, b = la[t]["a"], la[t]["b"]
+            w = lp[t]["w"]
+            if (a.shape[0], b.shape[1]) != w.shape:
+                raise ValueError(
+                    f"LoRA target '{t}': adapter {a.shape}x{b.shape} does "
+                    f"not match weight {w.shape}")
+            scale = alpha / a.shape[1]
+            delta = (a.astype(jnp.float32) @ b.astype(jnp.float32)) * scale
+            lnew[t] = {"w": (w.astype(jnp.float32) + delta).astype(w.dtype),
+                       "b": lp[t]["b"]}
+        out_layers.append(lnew)
+    merged["layers"] = out_layers
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # fair-esm checkpoint conversion
 # ---------------------------------------------------------------------------
 

@@ -211,7 +211,9 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
                   ckpt_path: str | None = None, ckpt_every: int = 1000,
                   resume: str | None = None, quiet: bool = False,
                   chunk: int = 25, compute_dtype=jnp.bfloat16,
-                  mesh=None, remat: bool | None = None):
+                  mesh=None, remat: bool | None = None,
+                  seq_weights=None, lora_rank: int = 0,
+                  lora_alpha: float = 16.0):
     """Fine-tune (or pretrain) an ESM2 expert on a sequence family with the
     BERT/ESM masked-LM objective.
 
@@ -239,6 +241,18 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
       (tested vs single-device).
     * ``remat``: None = auto (per-layer jax.checkpoint for transformer-L,
       same policy as inference — required to fit the 650M vjp).
+    * ``seq_weights``: optional [M] per-sequence sampling weights
+      (e.g. potts_fit.sequence_weights' 1/neighborhood-size phylogenetic
+      reweighting — the same debiasing the Potts pseudolikelihood fit
+      applies); batches are drawn ~ weights instead of uniformly. None =
+      uniform.
+    * ``lora_rank`` > 0 freezes the base and trains rank-``lora_rank``
+      LoRA adapters on every layer matmul (esm2.lora_init/lora_merge,
+      scale ``lora_alpha``/rank) — optimizer state shrinks from 2x the
+      base to ~1% of it, which is how the 650M expert fine-tunes on one
+      chip. Checkpoints then hold the ADAPTER tree
+      (``<ckpt_path>_lora_<step>.npz``; ``resume`` expects the same), and
+      the returned params are the merged full model.
 
     Returns fp32 master params; checkpoints are save_ckpt npz files that
     esm2.load_npz_checkpoint validates per-leaf.
@@ -266,82 +280,108 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
             params)
 
+    # the trainable tree: the params themselves, or LoRA adapters over a
+    # frozen base (esm2.lora_merge re-applies the delta inside the loss)
+    if lora_rank:
+        train = esm2.lora_init(jax.random.PRNGKey(seed + 7), name,
+                               lora_rank)
+    else:
+        train = params
+
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, warmup, max(n_iters, warmup + 1), end_value=0.1 * lr)
-    decay_mask = jax.tree.map(lambda a: jnp.ndim(a) >= 2, params)
+    decay_mask = jax.tree.map(lambda a: jnp.ndim(a) >= 2, train)
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(sched, weight_decay=weight_decay, mask=decay_mask))
-    opt_state = opt.init(params)
+    opt_state = opt.init(train)
     start = 0
     if resume:
-        params, start = load_ckpt(resume, params)
-        opt_state = opt.init(params)
+        train, start = load_ckpt(resume, train)
+        opt_state = opt.init(train)
 
     data = jnp.asarray(toks)
+    if seq_weights is not None:
+        if len(seq_weights) != toks.shape[0]:
+            raise ValueError(
+                f"seq_weights has {len(seq_weights)} entries for "
+                f"{toks.shape[0]} sequences")
+        logw = jnp.log(jnp.maximum(
+            jnp.asarray(seq_weights, jnp.float32), 1e-30))
+    else:
+        logw = jnp.zeros((toks.shape[0],), jnp.float32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = jax.device_put(data, repl)
+        logw = jax.device_put(logw, repl)
         params = jax.device_put(params, repl)
+        train = params if not lora_rank else jax.device_put(train, repl)
         opt_state = jax.device_put(opt_state, repl)
 
     # canonical AA token range for the 10% random-replacement corruption
     aa_lo = esm2.ESM_TOK_TO_IDX["L"]
     aa_hi = esm2.ESM_TOK_TO_IDX["C"]
 
-    def one_step(carry, key):
-        params, opt_state = carry
-        k_sel, k_mask, k_r, k_rnd = jax.random.split(key, 4)
-        sel = jax.random.randint(k_sel, (batch_size,), 0, data.shape[0])
-        tok = data[sel]                                       # [B, T]
-        is_sel = jax.random.uniform(k_mask, tok.shape) < mask_prob
-        r = jax.random.uniform(k_r, tok.shape)
-        rnd = jax.random.randint(k_rnd, tok.shape, aa_lo, aa_hi + 1)
-        corrupt = jnp.where(
-            is_sel & (r < 0.8), esm2.MASK_IDX,
-            jnp.where(is_sel & (r >= 0.9), rnd, tok))
-        x = jax.nn.one_hot(corrupt, esm2.ESM_VOCAB, dtype=jnp.float32)
-        tgt = jax.nn.one_hot(tok, esm2.ESM_VOCAB, dtype=jnp.float32)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            shard = NamedSharding(mesh, P("dp"))
-            x = jax.lax.with_sharding_constraint(x, shard)
-            tgt = jax.lax.with_sharding_constraint(tgt, shard)
-        w = is_sel.astype(jnp.float32)
-
-        def loss_fn(p_):
-            logits = esm2.forward_logits(
-                esm2.cast_params(p_, compute_dtype), x, heads, remat)
-            lp = jax.nn.log_softmax(logits, -1)
-            ce = -jnp.sum(tgt * lp, -1)                       # [B, T]
-            return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
+    # base params enter the jitted chunk as an ARGUMENT, not a closure —
+    # closed-over trees are baked into the HLO as constants (CLAUDE.md:
+    # ~300s compile for 90MB; fatal at 650M)
     @jax.jit
-    def run_chunk(params, opt_state, keys):
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), keys)
-        return params, opt_state, losses.mean()
+    def run_chunk(base, train, opt_state, keys):
+        def one_step(carry, key):
+            train, opt_state = carry
+            k_sel, k_mask, k_r, k_rnd = jax.random.split(key, 4)
+            sel = jax.random.categorical(k_sel, logw, shape=(batch_size,))
+            tok = data[sel]                                   # [B, T]
+            is_sel = jax.random.uniform(k_mask, tok.shape) < mask_prob
+            r = jax.random.uniform(k_r, tok.shape)
+            rnd = jax.random.randint(k_rnd, tok.shape, aa_lo, aa_hi + 1)
+            corrupt = jnp.where(
+                is_sel & (r < 0.8), esm2.MASK_IDX,
+                jnp.where(is_sel & (r >= 0.9), rnd, tok))
+            x = jax.nn.one_hot(corrupt, esm2.ESM_VOCAB, dtype=jnp.float32)
+            tgt = jax.nn.one_hot(tok, esm2.ESM_VOCAB, dtype=jnp.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
+                shard = NamedSharding(mesh, P("dp"))
+                x = jax.lax.with_sharding_constraint(x, shard)
+                tgt = jax.lax.with_sharding_constraint(tgt, shard)
+            w = is_sel.astype(jnp.float32)
+
+            def loss_fn(t_):
+                full = (esm2.lora_merge(base, t_, lora_alpha)
+                        if lora_rank else t_)
+                logits = esm2.forward_logits(
+                    esm2.cast_params(full, compute_dtype), x, heads, remat)
+                lp = jax.nn.log_softmax(logits, -1)
+                ce = -jnp.sum(tgt * lp, -1)                   # [B, T]
+                return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+            loss, g = jax.value_and_grad(loss_fn)(train)
+            updates, opt_state = opt.update(g, opt_state, train)
+            return (optax.apply_updates(train, updates), opt_state), loss
+
+        (train, opt_state), losses = jax.lax.scan(
+            one_step, (train, opt_state), keys)
+        return train, opt_state, losses.mean()
+
+    ck_tag = "_lora_" if lora_rank else "_ckpt_"
     key = jax.random.PRNGKey(seed + 3)
     for done, size in _chunked(n_iters - start, chunk, log_every,
                                ckpt_every):
         key, k = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state,
-                                            jax.random.split(k, size))
+        train, opt_state, loss = run_chunk(params, train, opt_state,
+                                           jax.random.split(k, size))
         step = start + done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
             print(f"[esm_mlm] iter {step} ce {float(loss):.4f} "
                   f"ppl {float(jnp.exp(loss)):.2f}", flush=True)
         if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
-            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
-    return params
+            save_ckpt(f"{ckpt_path}{ck_tag}{step}.npz", train, step)
+    return esm2.lora_merge(params, train, lora_alpha) if lora_rank \
+        else train
 
 
 # ---------------------------------------------------------------------------

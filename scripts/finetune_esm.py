@@ -62,6 +62,21 @@ def build_parser():
     p.add_argument("--max_seqs", type=int, default=0,
                    help="subsample the family to this many sequences "
                         "(0 = all)")
+    p.add_argument("--reweight", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="with --msa: draw training batches with "
+                        "1/neighborhood-size phylogenetic weights at "
+                        "--reweight_identity (potts_fit.sequence_weights "
+                        "— the same debiasing the Potts fit uses); "
+                        "--no-reweight samples rows uniformly")
+    p.add_argument("--reweight_identity", type=float, default=0.8)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="train rank-N LoRA adapters over a frozen base "
+                        "instead of full fine-tuning (~1%% trainable at "
+                        "rank 8 on transformer-L — fits 650M + optimizer "
+                        "on one chip); the final <out>_ckpt_<n>.npz is "
+                        "the MERGED full model either way")
+    p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="data-parallel training over a dp mesh of this "
                         "size (0 = single device)")
@@ -102,15 +117,29 @@ def family_in_wt_context(msa_path: str, wt_seq: str) -> list[str]:
     return out
 
 
-def load_family(args) -> list[str]:
+def load_family(args):
+    """-> (seqs, weights-or-None). Weights come from the FOCUS-COLUMN
+    identity view (potts_fit.sequence_weights on the alignment itself) so
+    they measure family redundancy, not shared WT context."""
     from ppde_tpu import io
 
+    weights = None
     if args.msa:
+        rows = io.load_msa(args.msa)
+        if getattr(args, "reweight", False):
+            from ppde_tpu.models import potts_fit
+
+            weights = potts_fit.sequence_weights(
+                potts_fit.msa_to_onehot(rows),
+                identity=args.reweight_identity)
+            print(f"[finetune_esm] phylogenetic reweighting: effective "
+                  f"sample size {weights.sum():.1f} of {len(rows)}",
+                  flush=True)
         if args.wt_fasta:
             wt = io.read_fasta(args.wt_fasta)[0]
             seqs = family_in_wt_context(args.msa, wt)
         else:
-            seqs = [s for _, s in io.load_msa(args.msa)]
+            seqs = [s for _, s in rows]
     else:
         seqs = io.read_fasta(args.fasta)
         if len({len(s) for s in seqs}) != 1:
@@ -122,7 +151,9 @@ def load_family(args) -> list[str]:
         rng = np.random.default_rng(args.seed)
         keep = rng.choice(len(seqs), args.max_seqs, replace=False)
         seqs = [seqs[i] for i in keep]
-    return seqs
+        if weights is not None:
+            weights = weights[keep]
+    return seqs, weights
 
 
 def main(args):
@@ -131,7 +162,7 @@ def main(args):
     from ppde_tpu import training
     from ppde_tpu.models import esm2
 
-    seqs = load_family(args)
+    seqs, weights = load_family(args)
     print(f"[finetune_esm] {len(seqs)} sequences of length {len(seqs[0])}",
           flush=True)
 
@@ -156,8 +187,14 @@ def main(args):
         batch_size=args.batch_size, lr=args.lr, warmup=args.warmup,
         weight_decay=args.weight_decay, mask_prob=args.mask_prob,
         seed=args.seed, log_every=args.log_every, ckpt_path=args.out,
-        ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh)
+        ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh,
+        seq_weights=weights, lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha)
     final = f"{args.out}_ckpt_{args.n_iters}.npz"
+    if args.lora_rank:
+        # cadence checkpoints hold adapters (_lora_<step>.npz, for
+        # --resume); emit the merged full model under the uniform contract
+        esm2.save_npz_checkpoint(final, params, args.n_iters)
     print(f"[finetune_esm] done; load with --esm_weights {final}",
           flush=True)
     return params

@@ -156,6 +156,154 @@ def test_family_in_wt_context(tmp_path):
     assert seqs[1] == "AGKDE"
 
 
+def test_seq_weights_bias_training():
+    """Training with weights concentrated on one sequence should fit THAT
+    sequence better than an equally-present but downweighted one."""
+    a = WT
+    b = "WYWYWYWYWYWYWYWY"  # same length, very different
+    seqs = [a, b]
+    w = np.array([1.0, 0.0], np.float32)  # b is never drawn
+    params = training.train_esm_mlm(
+        seqs, name="mlm-tiny", n_iters=150, batch_size=16, lr=3e-3,
+        warmup=10, seed=5, quiet=True, compute_dtype=jnp.float32,
+        seq_weights=w)
+    x = jnp.stack([jnp.asarray(esm2.seq_to_esm_onehot(s)) for s in seqs])
+    pll = esm2.pseudo_log_likelihood(params, x, heads=4)
+    assert float(pll[0]) > float(pll[1]) + 5.0, np.asarray(pll)
+
+    with pytest.raises(ValueError, match="seq_weights"):
+        training.train_esm_mlm(seqs, name="mlm-tiny", n_iters=1,
+                               quiet=True, seq_weights=np.ones(3))
+
+
+def test_cli_reweight_on_msa(tmp_path, capsys):
+    """--msa + --reweight computes phylogenetic weights (duplicated rows
+    share neighborhood mass) and --max_seqs slices them consistently."""
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import importlib
+
+    fe = importlib.import_module("finetune_esm")
+    a2m = tmp_path / "fam.a2m"
+    # 4 identical rows + 1 distinct: neighborhood sizes 4,4,4,4,1
+    a2m.write_text(">f/1-5\nACDEF\n>a\nACDEF\n>b\nACDEF\n>c\nACDEF\n"
+                   ">d\nWYWYW\n")
+    args = fe.build_parser().parse_args(
+        ["--msa", str(a2m), "--out", str(tmp_path / "x")])
+    seqs, w = fe.load_family(args)
+    assert len(seqs) == 5 and w.shape == (5,)
+    np.testing.assert_allclose(w, [0.25] * 4 + [1.0])
+    # effective sample size = 2 families
+    assert abs(float(w.sum()) - 2.0) < 1e-6
+
+    args2 = fe.build_parser().parse_args(
+        ["--msa", str(a2m), "--out", str(tmp_path / "x"),
+         "--max_seqs", "3", "--seed", "0"])
+    seqs2, w2 = fe.load_family(args2)
+    assert len(seqs2) == 3 and w2.shape == (3,)
+    for s, wi in zip(seqs2, w2):
+        assert abs(wi - (1.0 if s == "WYWYW" else 0.25)) < 1e-6
+
+    args3 = fe.build_parser().parse_args(
+        ["--msa", str(a2m), "--out", str(tmp_path / "x"), "--no-reweight"])
+    _, w3 = fe.load_family(args3)
+    assert w3 is None
+
+
+def test_lora_zero_init_is_identity():
+    p = esm2.init(jax.random.PRNGKey(0), "mlm-tiny", jnp.float32)
+    lora = esm2.lora_init(jax.random.PRNGKey(1), "mlm-tiny", rank=4)
+    merged = esm2.lora_merge(p, lora, alpha=16.0)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # adapter is a small fraction of the base parameter count
+    n_base = sum(a.size for a in jax.tree.leaves(p))
+    n_lora = sum(a.size for a in jax.tree.leaves(lora))
+    assert n_lora < 0.35 * n_base  # tiny dims; ratio shrinks with width
+
+    esm2.CONFIGS.setdefault("mlm-tiny3", dict(TINY, layers=3))
+    wrong = esm2.lora_init(jax.random.PRNGKey(1), "mlm-tiny3", rank=4)
+    with pytest.raises(ValueError, match="layers"):
+        esm2.lora_merge(p, wrong, 16.0)
+
+
+def test_lora_adapts_pretrained_base_to_new_family(tmp_path):
+    """The LoRA use case: a base trained on family A adapts to family B
+    through rank-4 adapters alone (frozen base), recovering most of the
+    distribution shift; adapter checkpoints are small and resumable."""
+    rng = np.random.default_rng(9)
+    wt_b = "WYWHKRDEQNSTGPVI"
+    aas = "ACDEFGHIKLMNPQRSTVWY"
+    fam_b = [wt_b] + ["".join(aas[rng.integers(20)] if rng.random() < 0.12
+                              else c for c in wt_b) for _ in range(23)]
+    x_b = jnp.stack([jnp.asarray(esm2.seq_to_esm_onehot(s)) for s in fam_b])
+
+    p0 = esm2.init(jax.random.PRNGKey(1), "mlm-tiny", jnp.float32)
+    base = training.train_esm_mlm(
+        family(), name="mlm-tiny", params=p0, n_iters=150, batch_size=16,
+        lr=3e-3, warmup=10, seed=1, quiet=True, compute_dtype=jnp.float32)
+    pll_b0 = esm2.pseudo_log_likelihood(base, x_b, heads=4).mean()
+
+    pre = os.path.join(tmp_path, "lora")
+    merged = training.train_esm_mlm(
+        fam_b, name="mlm-tiny", params=base, n_iters=200, batch_size=16,
+        lr=1e-2, warmup=10, seed=2, quiet=True, compute_dtype=jnp.float32,
+        lora_rank=4, ckpt_path=pre, ckpt_every=200)
+    pll_b1 = esm2.pseudo_log_likelihood(merged, x_b, heads=4).mean()
+    assert float(pll_b1) > float(pll_b0) + 8.0, (float(pll_b0),
+                                                 float(pll_b1))
+
+    # frozen-base invariant: LoRA never touches embed (delta lives only in
+    # the layer matmuls), so it is bit-identical through the merge
+    np.testing.assert_array_equal(np.asarray(merged["embed"]),
+                                  np.asarray(base["embed"]))
+
+    # cadence checkpoint holds the small ADAPTER tree and resumes
+    ck = f"{pre}_lora_200.npz"
+    assert os.path.exists(ck)
+    z = np.load(ck)
+    n_stored = sum(z[k].size for k in z.files if k.startswith("p"))
+    n_base = sum(a.size for a in jax.tree.leaves(p0))
+    assert n_stored < 0.35 * n_base
+    merged2 = training.train_esm_mlm(
+        fam_b, name="mlm-tiny", params=base, n_iters=210, batch_size=16,
+        lr=1e-2, warmup=10, seed=2, quiet=True, compute_dtype=jnp.float32,
+        lora_rank=4, resume=ck)
+    pll_b2 = esm2.pseudo_log_likelihood(merged2, x_b, heads=4).mean()
+    assert float(pll_b2) > float(pll_b0) + 8.0
+
+
+def test_finetune_cli_lora_end_to_end(tmp_path):
+    import sys
+
+    fasta = tmp_path / "fam.fasta"
+    fasta.write_text("".join(f">s{i}\n{s}\n"
+                             for i, s in enumerate(family(8))))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import importlib
+
+    fe = importlib.import_module("finetune_esm")
+    args = fe.build_parser().parse_args([
+        "--fasta", str(fasta), "--esm_model", "mlm-tiny",
+        "--out", str(tmp_path / "ck"), "--n_iters", "2",
+        "--batch_size", "4", "--warmup", "1", "--log_every", "2",
+        "--ckpt_every", "2", "--lora_rank", "2"])
+    fe.main(args)
+    # merged full model emitted under the uniform --esm_weights contract
+    merged = tmp_path / "ck_ckpt_2.npz"
+    assert merged.exists()
+    params, apply_fn = esm2.load_expert(
+        "mlm-tiny", WT, weights_path=str(merged), dtype=jnp.float32)
+    d = apply_fn(params, jnp.asarray(codec.seqs_to_onehot([WT])))
+    np.testing.assert_allclose(float(d[0]), 0.0, atol=1e-4)
+    assert (tmp_path / "ck_lora_2.npz").exists()
+
+
 def test_finetune_cli_end_to_end(tmp_path):
     """scripts/finetune_esm.py on a tiny FASTA -> loadable checkpoint."""
     import sys
