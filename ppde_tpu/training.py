@@ -203,6 +203,76 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 # ESM2 masked-LM fine-tuning (family-specific transformer experts)
 # ---------------------------------------------------------------------------
 
+def _esm_tokens(seqs) -> np.ndarray:
+    """Equal-length AA strings (or a ready int array) -> tokens [M, T]."""
+    from ppde_tpu.models import esm2
+
+    if isinstance(seqs, np.ndarray):
+        toks = np.asarray(seqs, np.int32)
+    else:
+        unk = esm2.ESM_TOK_TO_IDX["<unk>"]
+        toks = np.asarray(
+            [[esm2.ESM_TOK_TO_IDX.get(c, unk) for c in s] for s in seqs],
+            np.int32)
+    if toks.ndim != 2:
+        raise ValueError("seqs must be equal-length (aligned) sequences")
+    return toks
+
+
+def _esm_corrupt(key, tok, mask_prob: float, aa_lo: int, aa_hi: int):
+    """BERT/ESM 80/10/10 corruption. -> (corrupted tokens, selected mask)."""
+    from ppde_tpu.models import esm2
+
+    k_mask, k_r, k_rnd = jax.random.split(key, 3)
+    is_sel = jax.random.uniform(k_mask, tok.shape) < mask_prob
+    r = jax.random.uniform(k_r, tok.shape)
+    rnd = jax.random.randint(k_rnd, tok.shape, aa_lo, aa_hi + 1)
+    corrupt = jnp.where(
+        is_sel & (r < 0.8), esm2.MASK_IDX,
+        jnp.where(is_sel & (r >= 0.9), rnd, tok))
+    return corrupt, is_sel
+
+
+def esm_mlm_heldout_ce(params, seqs, name: str = "transformer-S",
+                       mask_prob: float = 0.15, seed: int = 0,
+                       n_repeats: int = 4,
+                       compute_dtype=jnp.bfloat16,
+                       remat: bool | None = None) -> float:
+    """Mean masked-LM cross-entropy of ``params`` on held-out sequences:
+    the validation metric for train_esm_mlm (same 80/10/10 corruption,
+    deterministic masks from ``seed``, averaged over ``n_repeats`` mask
+    draws so the estimate is comparable across checkpoints)."""
+    from ppde_tpu.models import esm2
+
+    toks = _esm_tokens(seqs)
+    heads = esm2.CONFIGS[name]["heads"]
+    if remat is None:
+        remat = name == "transformer-L"
+    aa_lo = esm2.ESM_TOK_TO_IDX["L"]
+    aa_hi = esm2.ESM_TOK_TO_IDX["C"]
+    cparams = esm2.cast_params(params, compute_dtype)
+
+    @jax.jit
+    def one(p_, tok, key):
+        def body(carry, k):
+            corrupt, is_sel = _esm_corrupt(k, tok, mask_prob, aa_lo, aa_hi)
+            x = jax.nn.one_hot(corrupt, esm2.ESM_VOCAB, dtype=jnp.float32)
+            tgt = jax.nn.one_hot(tok, esm2.ESM_VOCAB, dtype=jnp.float32)
+            lp = jax.nn.log_softmax(
+                esm2.forward_logits(p_, x, heads, remat), -1)
+            ce = -jnp.sum(tgt * lp, -1)
+            w = is_sel.astype(jnp.float32)
+            num, den = carry
+            return (num + jnp.sum(ce * w), den + jnp.sum(w)), 0.0
+
+        (num, den), _ = jax.lax.scan(
+            body, (0.0, 0.0), jax.random.split(key, n_repeats))
+        return num / jnp.maximum(den, 1.0)
+
+    return float(one(cparams, jnp.asarray(toks),
+                     jax.random.PRNGKey(seed)))
+
+
 def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
                   n_iters: int = 2000, batch_size: int = 32,
                   lr: float = 1e-4, warmup: int = 100,
@@ -259,15 +329,7 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
     """
     from ppde_tpu.models import esm2
 
-    if isinstance(seqs, np.ndarray):
-        toks = np.asarray(seqs, np.int32)
-    else:
-        unk = esm2.ESM_TOK_TO_IDX["<unk>"]
-        toks = np.asarray(
-            [[esm2.ESM_TOK_TO_IDX.get(c, unk) for c in s] for s in seqs],
-            np.int32)
-    if toks.ndim != 2:
-        raise ValueError("seqs must be equal-length (aligned) sequences")
+    toks = _esm_tokens(seqs)
 
     heads = esm2.CONFIGS[name]["heads"]
     if remat is None:
@@ -331,15 +393,11 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
     def run_chunk(base, train, opt_state, keys):
         def one_step(carry, key):
             train, opt_state = carry
-            k_sel, k_mask, k_r, k_rnd = jax.random.split(key, 4)
+            k_sel, k_corrupt = jax.random.split(key)
             sel = jax.random.categorical(k_sel, logw, shape=(batch_size,))
             tok = data[sel]                                   # [B, T]
-            is_sel = jax.random.uniform(k_mask, tok.shape) < mask_prob
-            r = jax.random.uniform(k_r, tok.shape)
-            rnd = jax.random.randint(k_rnd, tok.shape, aa_lo, aa_hi + 1)
-            corrupt = jnp.where(
-                is_sel & (r < 0.8), esm2.MASK_IDX,
-                jnp.where(is_sel & (r >= 0.9), rnd, tok))
+            corrupt, is_sel = _esm_corrupt(k_corrupt, tok, mask_prob,
+                                           aa_lo, aa_hi)
             x = jax.nn.one_hot(corrupt, esm2.ESM_VOCAB, dtype=jnp.float32)
             tgt = jax.nn.one_hot(tok, esm2.ESM_VOCAB, dtype=jnp.float32)
             if mesh is not None:

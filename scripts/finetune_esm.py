@@ -77,6 +77,11 @@ def build_parser():
                         "on one chip); the final <out>_ckpt_<n>.npz is "
                         "the MERGED full model either way")
     p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--val_frac", type=float, default=0.0,
+                   help="hold out this fraction of the family (after "
+                        "--max_seqs) and report masked-LM cross-entropy "
+                        "on it before and after training "
+                        "(training.esm_mlm_heldout_ce)")
     p.add_argument("--mesh_dp", type=int, default=0,
                    help="data-parallel training over a dp mesh of this "
                         "size (0 = single device)")
@@ -162,9 +167,21 @@ def main(args):
     from ppde_tpu import training
     from ppde_tpu.models import esm2
 
+    import numpy as np
+
     seqs, weights = load_family(args)
-    print(f"[finetune_esm] {len(seqs)} sequences of length {len(seqs[0])}",
-          flush=True)
+    val = None
+    if args.val_frac > 0:
+        rng = np.random.default_rng(args.seed + 1)
+        n_val = max(1, int(round(args.val_frac * len(seqs))))
+        vidx = set(rng.choice(len(seqs), n_val, replace=False).tolist())
+        val = [seqs[i] for i in sorted(vidx)]
+        seqs = [s for i, s in enumerate(seqs) if i not in vidx]
+        if weights is not None:
+            weights = np.asarray(
+                [w for i, w in enumerate(weights) if i not in vidx])
+    print(f"[finetune_esm] {len(seqs)} sequences of length {len(seqs[0])}"
+          + (f" (+{len(val)} held out)" if val else ""), flush=True)
 
     params = None
     if args.esm_weights:
@@ -181,6 +198,23 @@ def main(args):
 
         mesh = pmesh.make_mesh(dp=args.mesh_dp)
 
+    def report_val(p, tag):
+        if val is None or p is None:
+            return
+        ce = training.esm_mlm_heldout_ce(
+            p, val, name=args.esm_model, seed=args.seed)
+        print(f"[finetune_esm] held-out masked CE {tag}: {ce:.4f} "
+              f"(ppl {np.exp(ce):.2f})", flush=True)
+
+    if val is not None:
+        import jax
+
+        from ppde_tpu.models import esm2 as _e
+
+        report_val(params if params is not None else
+                   _e.init(jax.random.PRNGKey(args.seed), args.esm_model,
+                           jnp.float32), "before")
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     params = training.train_esm_mlm(
         seqs, name=args.esm_model, params=params, n_iters=args.n_iters,
@@ -195,6 +229,7 @@ def main(args):
         # cadence checkpoints hold adapters (_lora_<step>.npz, for
         # --resume); emit the merged full model under the uniform contract
         esm2.save_npz_checkpoint(final, params, args.n_iters)
+    report_val(params, "after")
     print(f"[finetune_esm] done; load with --esm_weights {final}",
           flush=True)
     return params

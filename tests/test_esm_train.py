@@ -304,8 +304,10 @@ def test_finetune_cli_lora_end_to_end(tmp_path):
     assert (tmp_path / "ck_lora_2.npz").exists()
 
 
-def test_finetune_cli_end_to_end(tmp_path):
-    """scripts/finetune_esm.py on a tiny FASTA -> loadable checkpoint."""
+def test_finetune_cli_end_to_end(tmp_path, capsys):
+    """scripts/finetune_esm.py on a tiny FASTA -> loadable checkpoint,
+    with --val_frac holding out rows and reporting masked CE around
+    training (training.esm_mlm_heldout_ce)."""
     import sys
 
     fasta = tmp_path / "fam.fasta"
@@ -321,6 +323,27 @@ def test_finetune_cli_end_to_end(tmp_path):
         "--fasta", str(fasta), "--esm_model", "mlm-tiny",
         "--out", str(tmp_path / "ck"), "--n_iters", "2",
         "--batch_size", "4", "--warmup", "1", "--log_every", "2",
-        "--ckpt_every", "2"])
+        "--ckpt_every", "2", "--val_frac", "0.25"])
     fe.main(args)
     assert (tmp_path / "ck_ckpt_2.npz").exists()
+    out = capsys.readouterr().out
+    assert "(+2 held out)" in out
+    assert "held-out masked CE before:" in out
+    assert "held-out masked CE after:" in out
+
+
+def test_heldout_ce_is_deterministic_and_improves_with_training():
+    seqs = family(16)
+    p0 = esm2.init(jax.random.PRNGKey(1), "mlm-tiny", jnp.float32)
+    ce0a = training.esm_mlm_heldout_ce(p0, seqs, name="mlm-tiny",
+                                       compute_dtype=jnp.float32)
+    ce0b = training.esm_mlm_heldout_ce(p0, seqs, name="mlm-tiny",
+                                       compute_dtype=jnp.float32)
+    assert ce0a == ce0b  # fixed seed -> identical masks
+    trained = training.train_esm_mlm(
+        seqs, name="mlm-tiny", params=p0, n_iters=120, batch_size=16,
+        lr=3e-3, warmup=10, seed=1, quiet=True,
+        compute_dtype=jnp.float32)
+    ce1 = training.esm_mlm_heldout_ce(trained, seqs, name="mlm-tiny",
+                                      compute_dtype=jnp.float32)
+    assert ce1 < ce0a - 0.5, (ce0a, ce1)
