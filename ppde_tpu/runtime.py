@@ -86,12 +86,18 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
 
     pp = load_potts(protein_dir)
 
+    # '--unsupervised_expert potts+transformer[-S/M/L]' composes PoE terms
+    # (reference energy.py:83-89); the esm2 config key is the transformer
+    # part alone
+    experts = args.unsupervised_expert.split("+")
+    esm_name = next((e for e in experts if e.startswith("transformer")),
+                    None)
     transformer = None
-    if "transformer" in args.unsupervised_expert:
+    if esm_name is not None:
         from ppde_tpu.models import esm2
 
         params, apply_fn = esm2.load_expert(
-            args.unsupervised_expert, wt_seqs[0],
+            esm_name, wt_seqs[0],
             weights_path=getattr(args, "esm_weights", None),
             allow_random=getattr(args, "allow_random_esm", False))
         transformer = (params, apply_fn)
@@ -112,7 +118,7 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
                                            cnn_chunk=cnn_chunk,
                                            pool_bwd=pool_bwd)
     else:
-        use_potts = args.unsupervised_expert in ("potts", "potts+transformer")
+        use_potts = "potts" in experts
         # Transformer chunking, measured honestly at B=128 ESM2-S
         # (tools/probe_esm_dce.py, round 3 — dependency-threaded probes
         # consuming ALL chunk outputs; energy+grad ms): unrolled chunk-16

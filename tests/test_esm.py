@@ -158,3 +158,46 @@ def test_masked_marginal_metric_additivity(monkeypatch, tmp_path):
     assert scores.shape == (2,)
     assert scores[0] == 0.0  # WT has no mutations
     assert scores[1] != 0.0
+
+
+def test_composite_expert_name_builds_poe_energy():
+    """--unsupervised_expert potts+transformer-<cfg> resolves the esm2
+    config from the composite name (reference energy.py:83-89 composes
+    both experts; the config key is the transformer part alone)."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    de = importlib.import_module("directed_evolution")
+    from ppde_tpu import runtime
+
+    esm2.CONFIGS.setdefault(
+        "transformer-tiny", dict(layers=1, dim=32, heads=4, ffn=64))
+    common = ["--protein", "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+              "--protein_weights", "weights", "--n_chains", "2",
+              "--allow_random_esm"]
+    args = de.build_parser().parse_args(
+        common + ["--unsupervised_expert", "potts+transformer-tiny"])
+    en, oracle, pp, orc = runtime.build_protein_energy(args)
+    assert "potts" in en.params and "tr" in en.params
+
+    x = runtime.make_initial_protein_population(
+        os.path.join("weights", args.protein), 2)
+    e_both = np.asarray(en.energy(en.params, x))
+    e, fit, g = en.energy_and_grad(en.params, x)
+    assert np.isfinite(np.asarray(e)).all()
+    assert np.isfinite(np.asarray(g)).all()
+
+    args_p = de.build_parser().parse_args(
+        common + ["--unsupervised_expert", "potts"])
+    en_p, *_ = runtime.build_protein_energy(args_p)
+    assert "tr" not in en_p.params
+
+    # transformer-only composite: potts term excluded
+    args_t = de.build_parser().parse_args(
+        common + ["--unsupervised_expert", "transformer-tiny"])
+    en_t, *_ = runtime.build_protein_energy(args_t)
+    assert "potts" not in en_t.params and "tr" in en_t.params
