@@ -5,12 +5,12 @@ nets.py:172-240, environment.yml:22) — its transformer expert cannot be
 made family-specific. This script closes that gap natively: masked-LM
 fine-tuning (training.train_esm_mlm) on the .a2m alignment the Potts
 expert is already fit from, producing a .npz checkpoint that
-`directed_evolution.py --prot_model transformer --esm_weights out.npz`
+`directed_evolution.py --unsupervised_expert transformer-S --esm_weights out.npz`
 loads directly (esm2.load_npz_checkpoint, per-leaf validated).
 
 Examples:
   # family-specific from scratch (offline; no fair-esm weights needed)
-  python scripts/finetune_esm.py --msa data/UBE4B_MOUSE.a2m \
+  python scripts/finetune_esm.py --msa data/proteins/UBE4B_MOUSE.a2m \
       --esm_model transformer-S --out results/esm_ube4b --n_iters 5000
   # fine-tune the published 35M model when a fair-esm .pt is available
   python scripts/finetune_esm.py --msa ... --esm_weights esm2_t12_35M.pt \
