@@ -103,13 +103,14 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert p_resumed is not None  # runs the remaining 2 iters from step 2
 
 
-def test_dp_mesh_training_matches_single_device():
+@pytest.mark.parametrize("lora_rank", [0, 2])
+def test_dp_mesh_training_matches_single_device(lora_rank):
     from ppde_tpu.parallel import mesh as pmesh
 
     seqs = family(16)
     kwargs = dict(name="mlm-tiny", n_iters=6, batch_size=8, lr=1e-3,
                   warmup=2, seed=3, quiet=True,
-                  compute_dtype=jnp.float32)
+                  compute_dtype=jnp.float32, lora_rank=lora_rank)
     p_single = training.train_esm_mlm(seqs, **kwargs)
     p_mesh = training.train_esm_mlm(seqs, mesh=pmesh.make_mesh(dp=8),
                                     **kwargs)
