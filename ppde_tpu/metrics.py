@@ -49,7 +49,8 @@ def proteins_transformer_score(population: np.ndarray, protein_dir: str,
                                msa_location: str, msa_size: int,
                                weights_path: str | None = None,
                                allow_random: bool = False,
-                               seed: int = 0) -> np.ndarray:
+                               seed: int = 0,
+                               msa_model: str = "msa-1b") -> np.ndarray:
     """Evolutionary density via MSA-Transformer masked marginals.
 
     For each variant, for each of its mutations inside the alignment window:
@@ -61,6 +62,10 @@ def proteins_transformer_score(population: np.ndarray, protein_dir: str,
     in one batched pass (each unique column costs ONE forward regardless of
     how many variants mutate it), instead of O(population x mutations) full
     forwards.
+
+    ``msa_model``: msa_transformer.CONFIGS key — "msa-1b" for a converted
+    fair-esm checkpoint (the reference's scorer), or a smaller config whose
+    .npz was trained on this family with scripts/finetune_msa.py.
     """
     from ppde_tpu import runtime
     from ppde_tpu.models import msa_transformer as msat
@@ -76,7 +81,8 @@ def proteins_transformer_score(population: np.ndarray, protein_dir: str,
                       replace=False)
     msa_rows = [msa[i][1] for i in idxs]
 
-    params = msat.load(weights_path, allow_random=allow_random)
+    params = msat.load(weights_path, allow_random=allow_random,
+                       name=msa_model)
 
     seqs = codec.onehot_to_seqs(population)
     # collect per-variant mutations inside the window + unique masked columns
@@ -95,7 +101,8 @@ def proteins_transformer_score(population: np.ndarray, protein_dir: str,
     wt_window = wt[lo:hi + 1]
     # batched masked-marginal log-probs: [n_cols, vocab]
     logp = msat.masked_marginals(params, wt_window, msa_rows,
-                                 [c - lo for c in cols])
+                                 [c - lo for c in cols],
+                                 heads=msat.heads_of(msa_model))
     col_to_row = {c: k for k, c in enumerate(cols)}
 
     scores = np.zeros(len(seqs))

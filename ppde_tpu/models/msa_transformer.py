@@ -10,7 +10,11 @@ Roberta LM head.
 
 Weights: convert a fair-esm msa1b checkpoint with --msa_transformer_weights
 (not downloadable in this environment); ``allow_random`` gives a
-deterministic random model for pipeline tests.
+deterministic random model for pipeline tests; or TRAIN a family-specific
+scorer on the protein's own alignment with training.train_msa_mlm /
+scripts/finetune_msa.py (smaller CONFIGS entries) and load its .npz — the
+native capability that makes the evolutionary-density metric runnable
+offline.
 
 TPU-first scoring: ``masked_marginals`` scores ALL unique masked columns of
 the wild type in batched device passes — one forward per unique column
@@ -28,11 +32,26 @@ import numpy as np
 from ppde_tpu.models.esm2 import (CLS_IDX, ESM_TOK_TO_IDX, ESM_VOCAB,
                                   MASK_IDX, PAD_IDX)
 
-CFG = dict(layers=12, dim=768, heads=12, ffn=3072, max_pos=1024)
+# "msa-1b" is the fair-esm esm_msa1b_t12_100M architecture (the reference's
+# scorer); the smaller entries exist to TRAIN family-specific scorers
+# offline (training.train_msa_mlm) — weights for msa-1b cannot be
+# downloaded in this environment.
+CONFIGS = {
+    "msa-1b": dict(layers=12, dim=768, heads=12, ffn=3072, max_pos=1024),
+    "msa-S": dict(layers=4, dim=256, heads=8, ffn=1024, max_pos=1024),
+    "msa-tiny": dict(layers=2, dim=32, heads=2, ffn=64, max_pos=256),
+}
+CFG = CONFIGS["msa-1b"]
 
 
-def init(key, dtype=jnp.bfloat16, scale: float = 0.02) -> dict:
-    D, F, N = CFG["dim"], CFG["ffn"], CFG["layers"]
+def heads_of(name: str) -> int:
+    return CONFIGS[name]["heads"]
+
+
+def init(key, dtype=jnp.bfloat16, scale: float = 0.02,
+         name: str = "msa-1b") -> dict:
+    cfg = CONFIGS[name]
+    D, F, N = cfg["dim"], cfg["ffn"], cfg["layers"]
     keys = jax.random.split(key, 3 + N)
 
     def lin(k, i, o):
@@ -60,9 +79,9 @@ def init(key, dtype=jnp.bfloat16, scale: float = 0.02) -> dict:
     k_lm, _ = jax.random.split(keys[0])
     return {
         "embed": (jax.random.normal(keys[0], (ESM_VOCAB, D)) * scale).astype(dtype),
-        "pos_embed": (jax.random.normal(keys[1], (CFG["max_pos"], D))
+        "pos_embed": (jax.random.normal(keys[1], (cfg["max_pos"], D))
                       * scale).astype(dtype),
-        "msa_pos_embed": (jax.random.normal(keys[2], (CFG["max_pos"], D))
+        "msa_pos_embed": (jax.random.normal(keys[2], (cfg["max_pos"], D))
                           * 0.01).astype(dtype),
         "layers": [layer(k) for k in keys[3:]],
         "ln_before": _ln_init(D),
@@ -90,13 +109,12 @@ def _heads(t, H):
     return t.reshape(*lead, H, D // H)
 
 
-def _tied_row_attention(p, x):
+def _tied_row_attention(p, x, H):
     """Tied row attention: logits over column pairs summed across rows.
 
     x: [B, R, C, D]. Scaling 1/(sqrt(hd) * sqrt(R)) as in fair-esm.
     """
     B, R, C, D = x.shape
-    H = CFG["heads"]
     hd = D // H
     q = _heads(x @ p["q"]["w"] + p["q"]["b"], H)  # [B,R,C,H,hd]
     k = _heads(x @ p["k"]["w"] + p["k"]["b"], H)
@@ -112,10 +130,9 @@ def _tied_row_attention(p, x):
     return out @ p["o"]["w"] + p["o"]["b"]
 
 
-def _column_attention(p, x):
+def _column_attention(p, x, H):
     """Column attention: standard attention across rows per column."""
     B, R, C, D = x.shape
-    H = CFG["heads"]
     hd = D // H
     q = _heads(x @ p["q"]["w"] + p["q"]["b"], H)
     k = _heads(x @ p["k"]["w"] + p["k"]["b"], H)
@@ -128,10 +145,14 @@ def _column_attention(p, x):
     return out @ p["o"]["w"] + p["o"]["b"]
 
 
-def forward_logits(params, tokens: jnp.ndarray) -> jnp.ndarray:
-    """tokens [B, R, C] int32 -> logits [B, R, C, V] (fp32)."""
+def forward_logits(params, tokens: jnp.ndarray,
+                   heads: int = 12) -> jnp.ndarray:
+    """tokens [B, R, C] int32 -> logits [B, R, C, V] (fp32).
+
+    ``heads`` is static config (CONFIGS[name]["heads"]) — kept OUT of the
+    params pytree, same convention as esm2.forward_logits.
+    """
     B, R, C = tokens.shape
-    dtype = params["embed"].dtype
     x = params["embed"][tokens]  # [B,R,C,D]
     x = x + params["pos_embed"][None, None, :C]
     x = x + params["msa_pos_embed"][None, :R, None]
@@ -139,9 +160,9 @@ def forward_logits(params, tokens: jnp.ndarray) -> jnp.ndarray:
 
     for layer in params["layers"]:
         x = x + _tied_row_attention(layer["row"],
-                                    _layer_norm(layer["row_ln"], x))
+                                    _layer_norm(layer["row_ln"], x), heads)
         x = x + _column_attention(layer["col"],
-                                  _layer_norm(layer["col_ln"], x))
+                                  _layer_norm(layer["col_ln"], x), heads)
         y = _layer_norm(layer["ffn_ln"], x)
         y = jax.nn.gelu(y @ layer["fc1"]["w"] + layer["fc1"]["b"],
                         approximate=False)
@@ -168,7 +189,8 @@ def tokenize_msa(rows: list[str]) -> np.ndarray:
 
 
 def masked_marginals(params, wt_window: str, msa_rows: list[str],
-                     cols: list[int], batch_cols: int = 4) -> np.ndarray:
+                     cols: list[int], batch_cols: int = 4,
+                     heads: int = 12) -> np.ndarray:
     """log-softmax token probabilities at masked WT columns.
 
     Builds the [1 + len(msa_rows), C+1] alignment with the WT window as the
@@ -182,8 +204,8 @@ def masked_marginals(params, wt_window: str, msa_rows: list[str],
     def score(cols_batch):
         def one(col):
             toks = base_j.at[0, col + 1].set(MASK_IDX)
-            logits = forward_logits(params, toks[None])[0]  # [R, C+1, V]
-            return jax.nn.log_softmax(logits[0, col + 1], -1)
+            logits = forward_logits(params, toks[None], heads)[0]
+            return jax.nn.log_softmax(logits[0, col + 1], -1)  # [V]
 
         return jax.lax.map(one, cols_batch)
 
@@ -198,15 +220,59 @@ def masked_marginals(params, wt_window: str, msa_rows: list[str],
 
 
 def load(weights_path: str | None, allow_random: bool = False,
-         dtype=jnp.bfloat16) -> dict:
+         dtype=jnp.bfloat16, name: str = "msa-1b") -> dict:
+    """Weights resolution: a native .npz (train_msa_mlm checkpoint for the
+    ``name`` architecture, per-leaf validated), a fair-esm msa1b torch
+    checkpoint, or (tests only) a deterministic random init."""
     if weights_path is not None:
+        if weights_path.endswith(".npz"):
+            return load_npz_checkpoint(weights_path, name, dtype)
         return load_torch_checkpoint(weights_path, dtype)
     if allow_random:
-        return init(jax.random.PRNGKey(0), dtype)
+        return init(jax.random.PRNGKey(0), dtype, name=name)
     raise FileNotFoundError(
         "No MSA-Transformer weights: pass a fair-esm esm_msa1b_t12_100M "
-        "checkpoint path (not downloadable here), or allow_random for "
-        "pipeline tests.")
+        "checkpoint path (not downloadable here), a family-trained .npz "
+        "(scripts/finetune_msa.py), or allow_random for pipeline tests.")
+
+
+def cast_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Matmul weights -> ``dtype``; LayerNorm affines + lm_bias stay fp32
+    (the layout init() produces). Same mixed-precision recipe as
+    esm2.cast_params, keyed on pytree path because LN and linear leaves
+    share the key 'b'."""
+    def leaf(path, a):
+        names = [getattr(k, "key", None) for k in path]
+        if "lm_bias" in names or any(
+                isinstance(n, str) and n.endswith("ln") for n in names) \
+                or any(n in ("ln_before", "ln_after") for n in names):
+            return a.astype(jnp.float32)
+        return a.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def load_npz_checkpoint(path: str, name: str, dtype=jnp.bfloat16) -> dict:
+    """Load a native checkpoint (training.save_ckpt npz layout) with
+    per-leaf shape validation against the ``name`` architecture."""
+    z = np.load(path, allow_pickle=False)
+    like = jax.eval_shape(
+        lambda: init(jax.random.PRNGKey(0), jnp.float32, name=name))
+    flat, treedef = jax.tree.flatten(like)
+    n_stored = len([k for k in z.files if k.startswith("p")])
+    if n_stored != len(flat):
+        raise ValueError(
+            f"{path}: {n_stored} leaves but MSA-T config '{name}' has "
+            f"{len(flat)} — wrong architecture for this checkpoint")
+    leaves = []
+    for i, ref in enumerate(flat):
+        a = z[f"p{i}"]
+        if tuple(a.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"{path}: leaf p{i} has shape {tuple(a.shape)}, MSA-T "
+                f"config '{name}' expects {tuple(ref.shape)}")
+        leaves.append(jnp.asarray(a, jnp.float32))
+    return cast_params(jax.tree.unflatten(treedef, leaves), dtype)
 
 
 def load_torch_checkpoint(path: str, dtype=jnp.bfloat16) -> dict:

@@ -443,6 +443,175 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
 
 
 # ---------------------------------------------------------------------------
+# MSA-Transformer masked-LM training (family-specific evolutionary-density
+# scorers)
+# ---------------------------------------------------------------------------
+
+def _msa_corrupt(key, tok, mask_prob: float):
+    """BERT/ESM 80/10/10 corruption over an MSA block [.., R, C+1]; column 0
+    (<cls>) is never selected. Returns (corrupted, selected mask)."""
+    from ppde_tpu.models import esm2
+
+    corrupt, is_sel = _esm_corrupt(key, tok, mask_prob,
+                                   esm2.ESM_TOK_TO_IDX["L"],
+                                   esm2.ESM_TOK_TO_IDX["C"])
+    keep_cls = jnp.arange(tok.shape[-1]) == 0
+    corrupt = jnp.where(keep_cls, tok, corrupt)
+    return corrupt, is_sel & ~keep_cls
+
+
+def msa_mlm_heldout_ce(params, msa_rows, name: str = "msa-S",
+                       block_rows: int = 16, mask_prob: float = 0.15,
+                       seed: int = 0, n_repeats: int = 4,
+                       compute_dtype=jnp.bfloat16) -> float:
+    """Masked-LM cross-entropy of an MSA-Transformer on held-out alignment
+    rows: ``n_repeats`` random [block_rows, C+1] blocks with deterministic
+    masks — the validation metric for train_msa_mlm."""
+    from ppde_tpu.models import esm2
+    from ppde_tpu.models import msa_transformer as msat
+
+    toks = jnp.asarray(msat.tokenize_msa(list(msa_rows)))
+    heads = msat.CONFIGS[name]["heads"]
+    vocab = esm2.ESM_VOCAB
+    cparams = msat.cast_params(params, compute_dtype)
+    R = min(block_rows, toks.shape[0])
+
+    @jax.jit
+    def one(p_, key):
+        def body(carry, k):
+            k_sel, k_corrupt = jax.random.split(k)
+            sel = jax.random.randint(k_sel, (R,), 0, toks.shape[0])
+            block = toks[sel]                                   # [R, C+1]
+            corrupt, is_sel = _msa_corrupt(k_corrupt, block, mask_prob)
+            lp = jax.nn.log_softmax(
+                msat.forward_logits(p_, corrupt[None], heads)[0], -1)
+            tgt = jax.nn.one_hot(block, vocab, dtype=jnp.float32)
+            ce = -jnp.sum(tgt * lp, -1)
+            w = is_sel.astype(jnp.float32)
+            num, den = carry
+            return (num + jnp.sum(ce * w), den + jnp.sum(w)), 0.0
+
+        (num, den), _ = jax.lax.scan(
+            body, (0.0, 0.0), jax.random.split(key, n_repeats))
+        return num / jnp.maximum(den, 1.0)
+
+    return float(one(cparams, jax.random.PRNGKey(seed)))
+
+
+def train_msa_mlm(msa_rows, name: str = "msa-S", params=None,
+                  n_iters: int = 2000, block_rows: int = 16,
+                  lr: float = 3e-4, warmup: int = 100,
+                  weight_decay: float = 0.01, mask_prob: float = 0.15,
+                  seed: int = 0, log_every: int = 100,
+                  ckpt_path: str | None = None, ckpt_every: int = 1000,
+                  resume: str | None = None, quiet: bool = False,
+                  chunk: int = 25, compute_dtype=jnp.bfloat16,
+                  seq_weights=None):
+    """Train an MSA-Transformer (axial attention) on a protein family
+    alignment with the masked-LM objective.
+
+    The reference scores evolutionary density with the FROZEN pre-trained
+    esm_msa1b model (reference metrics.py:22-76) whose weights cannot be
+    downloaded here; this trainer is the native capability that fills that
+    role offline: fit a small CONFIGS entry (msa-S) on the family's own
+    .a2m, save a .npz that metrics.proteins_transformer_score loads via
+    --msa_transformer_weights (msa_transformer.load_npz_checkpoint,
+    per-leaf validated).
+
+    * ``msa_rows``: aligned focus-column strings (io.load_msa row values) —
+      the SAME view masked_marginals scores at eval time (WT window +
+      family rows; gaps are the ESM '-' token).
+    * Each step trains on one [block_rows, C+1] alignment block: rows drawn
+      ~ ``seq_weights`` (e.g. potts_fit.sequence_weights phylogenetic
+      debiasing) or uniformly, tokenized once on device, <cls> prepended by
+      tokenize_msa. 80/10/10 corruption over all non-<cls> positions.
+    * Mixed precision: fp32 master params + optimizer state; compute params
+      re-cast to ``compute_dtype`` per step (msa_transformer.cast_params).
+
+    Returns fp32 master params; checkpoints are save_ckpt npz files.
+    """
+    from ppde_tpu.models import esm2
+    from ppde_tpu.models import msa_transformer as msat
+
+    toks = np.asarray(msat.tokenize_msa(list(msa_rows)), np.int32)
+    heads = msat.CONFIGS[name]["heads"]
+    data_vocab = esm2.ESM_VOCAB
+    if params is None:
+        params = msat.init(jax.random.PRNGKey(seed), jnp.float32, name=name)
+    else:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            params)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, max(n_iters, warmup + 1), end_value=0.1 * lr)
+    decay_mask = jax.tree.map(lambda a: jnp.ndim(a) >= 2, params)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=weight_decay, mask=decay_mask))
+    opt_state = opt.init(params)
+    start = 0
+    if resume:
+        params, start = load_ckpt(resume, params)
+        opt_state = opt.init(params)
+
+    data = jnp.asarray(toks)
+    if seq_weights is not None:
+        if len(seq_weights) != toks.shape[0]:
+            raise ValueError(
+                f"seq_weights has {len(seq_weights)} entries for "
+                f"{toks.shape[0]} alignment rows")
+        logw = jnp.log(jnp.maximum(
+            jnp.asarray(seq_weights, jnp.float32), 1e-30))
+    else:
+        logw = jnp.zeros((toks.shape[0],), jnp.float32)
+    R = min(block_rows, toks.shape[0])
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        def one_step(carry, key):
+            params, opt_state = carry
+            k_sel, k_corrupt = jax.random.split(key)
+            sel = jax.random.categorical(k_sel, logw, shape=(R,))
+            block = data[sel]                                   # [R, C+1]
+            corrupt, is_sel = _msa_corrupt(k_corrupt, block, mask_prob)
+            w = is_sel.astype(jnp.float32)
+
+            tgt = jax.nn.one_hot(block, data_vocab, dtype=jnp.float32)
+
+            def loss_fn(p_):
+                lp = jax.nn.log_softmax(
+                    msat.forward_logits(
+                        msat.cast_params(p_, compute_dtype),
+                        corrupt[None], heads)[0], -1)
+                ce = -jnp.sum(tgt * lp, -1)                     # [R, C+1]
+                return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses.mean()
+
+    key = jax.random.PRNGKey(seed + 3)
+    for done, size in _chunked(n_iters - start, chunk, log_every,
+                               ckpt_every):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = run_chunk(params, opt_state,
+                                            jax.random.split(k, size))
+        step = start + done + size
+        if not quiet and (step % log_every == 0 or step == n_iters):
+            print(f"[msa_mlm] iter {step} ce {float(loss):.4f} "
+                  f"ppl {float(jnp.exp(loss)):.2f}", flush=True)
+        if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
+            save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # EBM (persistent contrastive divergence with GWG sampling)
 # ---------------------------------------------------------------------------
 

@@ -142,7 +142,8 @@ def main(args):
         try:
             tscore = metrics.proteins_transformer_score(
                 np.asarray(res.best_x), protein_dir, args.msa_path,
-                args.msa_size, weights_path=args.msa_transformer_weights)
+                args.msa_size, weights_path=args.msa_transformer_weights,
+                msa_model=args.msa_transformer_model)
             print(f"MSATransformer quantiles: {np.quantile(tscore, qs)}")
             np.save(results_path / "transformer_scores.npy", tscore)
         except FileNotFoundError as e:
@@ -187,7 +188,10 @@ def build_parser():
                    help="path to a fair-esm esm2_t*.pt checkpoint "
                         "(transformer experts)")
     g.add_argument("--msa_transformer_weights", type=str, default=None,
-                   help="path to a fair-esm esm_msa1b .pt checkpoint")
+                   help="path to a fair-esm esm_msa1b .pt checkpoint, or a "
+                        "family-trained .npz (scripts/finetune_msa.py)")
+    g.add_argument("--msa_transformer_model", type=str, default="msa-1b",
+                   help="msa_transformer.CONFIGS key the weights belong to")
     g.add_argument("--allow_random_esm", action="store_true",
                    help="use randomly-initialized ESM2 (smoke tests only)")
     g.add_argument("--checkpoint_dir", type=str, default="",

@@ -31,7 +31,8 @@ def main(args):
         scores = metrics.proteins_transformer_score(
             pop, protein_dir, args.msa_path, args.msa_size,
             weights_path=args.msa_transformer_weights,
-            allow_random=args.allow_random_esm)
+            allow_random=args.allow_random_esm,
+            msa_model=args.msa_transformer_model)
         np.save(os.path.join(rd, "transformer_scores.npy"), scores)
         print(f"{rd}: median {np.median(scores):.3f} "
               f"max {scores.max():.3f}")
@@ -47,5 +48,6 @@ if __name__ == "__main__":
                    default="data/proteins/PABP_YEAST.a2m")
     p.add_argument("--msa_size", type=int, default=500)
     p.add_argument("--msa_transformer_weights", type=str, default=None)
+    p.add_argument("--msa_transformer_model", type=str, default="msa-1b")
     p.add_argument("--allow_random_esm", action="store_true")
     main(p.parse_args())

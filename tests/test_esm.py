@@ -111,35 +111,28 @@ def test_esm2_state_dict_conversion_roundtrip(rng):
         sd["layers.0.self_attn.q_proj.weight"].T)
 
 
-def test_msa_transformer_tiny_pipeline(monkeypatch):
-    monkeypatch.setitem(msat.CFG, "layers", 1)
-    monkeypatch.setitem(msat.CFG, "dim", 32)
-    monkeypatch.setitem(msat.CFG, "heads", 4)
-    monkeypatch.setitem(msat.CFG, "ffn", 64)
-    params = msat.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+def test_msa_transformer_tiny_pipeline():
+    params = msat.init(jax.random.PRNGKey(0), dtype=jnp.float32,
+                       name="msa-tiny")
+    heads = msat.heads_of("msa-tiny")
 
     rows = ["ACDE", "AC-E", "WCDE"]
     toks = msat.tokenize_msa(rows)
     assert toks.shape == (3, 5)
     assert toks[0, 0] == msat.CLS_IDX
 
-    logits = msat.forward_logits(params, jnp.asarray(toks)[None])
+    logits = msat.forward_logits(params, jnp.asarray(toks)[None], heads)
     assert logits.shape == (1, 3, 5, 33)
 
     lp = msat.masked_marginals(params, "ACDE", rows[1:], [0, 2],
-                               batch_cols=2)
+                               batch_cols=2, heads=heads)
     assert lp.shape == (2, 33)
     np.testing.assert_allclose(np.exp(lp).sum(-1), 1.0, rtol=1e-4)
 
 
-def test_masked_marginal_metric_additivity(monkeypatch, tmp_path):
+def test_masked_marginal_metric_additivity(tmp_path):
     """metrics.proteins_transformer_score must equal the sum over mutations
     of per-column log-prob ratios."""
-    monkeypatch.setitem(msat.CFG, "layers", 1)
-    monkeypatch.setitem(msat.CFG, "dim", 32)
-    monkeypatch.setitem(msat.CFG, "heads", 4)
-    monkeypatch.setitem(msat.CFG, "ffn", 64)
-
     from ppde_tpu import metrics
 
     wt = "ACDEFGHIKL"
@@ -154,7 +147,8 @@ def test_masked_marginal_metric_additivity(monkeypatch, tmp_path):
     seqs = [wt, "YCDEFGHIKV"]
     pop = codec.seqs_to_onehot(seqs)
     scores = metrics.proteins_transformer_score(
-        pop, str(protein_dir), str(msa_path), msa_size=3, allow_random=True)
+        pop, str(protein_dir), str(msa_path), msa_size=3, allow_random=True,
+        msa_model="msa-tiny")
     assert scores.shape == (2,)
     assert scores[0] == 0.0  # WT has no mutations
     assert scores[1] != 0.0
