@@ -42,6 +42,17 @@ def build_parser():
                         "baseline the fine-tune should beat)")
     p.add_argument("--esm_chunk", type=int, default=64,
                    help="transformer scoring batch (memory bound)")
+    p.add_argument("--msat_model", type=str, default=None,
+                   help="msa_transformer.CONFIGS key; enables the "
+                        "evolutionary-density column "
+                        "(metrics.proteins_transformer_score)")
+    p.add_argument("--msat_weights", type=str, default=None,
+                   help="family-trained .npz (finetune_msa output) or "
+                        "fair-esm msa1b .pt; omit with --msat_model for "
+                        "random init (the baseline training should beat)")
+    p.add_argument("--msa_path", type=str, default=None,
+                   help="family alignment for the MSA-T context rows")
+    p.add_argument("--msa_size", type=int, default=500)
     p.add_argument("--out_json", type=str, default=None)
     return p
 
@@ -113,6 +124,19 @@ def main(args):
         tag = ("transformer_finetuned" if args.esm_weights
                else "transformer_random")
         scores[tag] = np.concatenate(cs)
+
+    if args.msat_model:
+        from ppde_tpu import metrics
+
+        if not args.msa_path:
+            raise SystemExit("--msat_model needs --msa_path (the family "
+                             "alignment provides the MSA-T context rows)")
+        tag = ("msat_trained" if args.msat_weights else "msat_random")
+        scores[tag] = metrics.proteins_transformer_score(
+            np.asarray(x), protein_dir, args.msa_path, args.msa_size,
+            weights_path=args.msat_weights,
+            allow_random=args.msat_weights is None,
+            msa_model=args.msat_model, seed=args.seed)
 
     result = {"protein": args.protein, "n_mutants": args.n_mutants,
               "max_mutations": args.max_mutations, "seed": args.seed,

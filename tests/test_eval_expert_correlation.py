@@ -60,3 +60,26 @@ def test_end_to_end_on_ube4b(tmp_path):
     assert sp["cnn_ensemble"] > 0.3
     assert res["spearman_by_n_mut"]["potts"][1] is not None
     assert out.exists()
+
+
+def test_msat_column_on_ube4b(tmp_path):
+    """--msat_model adds the evolutionary-density column (random init here;
+    the TPU pipeline passes a family-trained .npz for the real number)."""
+    out = tmp_path / "corr_msat.json"
+    args = eec.build_parser().parse_args([
+        "--protein", UBE4B, "--n_mutants", "32", "--max_mutations", "2",
+        "--msat_model", "msa-tiny",
+        "--msa_path", "data/proteins/UBE4B_MOUSE.a2m", "--msa_size", "8",
+        "--out_json", str(out)])
+    res = eec.main(args)
+    sp = res["spearman_vs_oracle"]
+    assert "msat_random" in sp and -1.0 <= sp["msat_random"] <= 1.0
+    assert "potts~msat_random" in sp
+
+    # --msat_model without an alignment is a usage error, not a crash later
+    import pytest
+
+    args2 = eec.build_parser().parse_args([
+        "--protein", UBE4B, "--n_mutants", "8", "--msat_model", "msa-tiny"])
+    with pytest.raises(SystemExit, match="msa_path"):
+        eec.main(args2)
