@@ -179,6 +179,99 @@ def score_and_grad(params: PottsParams, x_full: jnp.ndarray, delta: bool = True,
 
 
 # ---------------------------------------------------------------------------
+# Gibbs sampling from the Potts Boltzmann distribution p(x) ∝ exp(β·H(x))
+# ---------------------------------------------------------------------------
+#
+# Standard DCA tooling the reference lacks entirely: draw sequences from the
+# fitted model itself — for fit quality control (sampled single/pair
+# statistics vs. the training alignment) and for generating synthetic
+# families where the upstream MSAs are missing blobs (PABP/GFP,
+# .MISSING_LARGE_BLOBS). Sign convention matches the samplers: H is
+# MAXIMIZED, so the stationary law is p ∝ exp(β·H).
+
+def _field(params: PottsParams, x: jnp.ndarray) -> jnp.ndarray:
+    """F = x_flat @ W [B, P]: per-(position,letter) coupling field."""
+    return jnp.dot(_pad_flat(params, x), params.W,
+                   preferred_element_type=jnp.float32)
+
+
+def gibbs_sweep(params: PottsParams, x: jnp.ndarray, F: jnp.ndarray,
+                key, beta: float = 1.0):
+    """One systematic-scan Gibbs sweep over all window positions.
+
+    Exact single-site conditionals: with W's diagonal blocks zero and W
+    symmetric, the conditional logits at position i are
+    ``β·(h_i + F[:, iV:(i+1)V])`` — both (i,j) and (j,i) half-couplings of
+    the 0.5·x·W·x Hamiltonian contribute, summing to the full J_ij.
+
+    TPU-first: the field F is maintained INCREMENTALLY — resampling
+    position i updates it with one [B,V]×[V,P] matmul (delta one-hot times
+    V rows of W) instead of recomputing the [B,P]×[P,P] product; the state
+    update is a one-hot position mask multiply (no scatter — XLA
+    serializes scatters on TPU, CLAUDE.md).
+
+    x: [B, L, V] one-hot; F: matching field from _field(params, x).
+    Returns (x, F) after resampling every position once.
+    """
+    L, V = params.seq_len, VOCAB
+
+    def one_pos(carry, inp):
+        x, F = carry
+        i, k = inp
+        logits = beta * (
+            jax.lax.dynamic_slice(params.h, (i * V,), (V,))[None]
+            + jax.lax.dynamic_slice(F, (0, i * V), (x.shape[0], V)))
+        new = jax.nn.one_hot(jax.random.categorical(k, logits), V,
+                             dtype=x.dtype)                       # [B, V]
+        old = jax.lax.dynamic_slice(
+            x, (0, i, 0), (x.shape[0], 1, V))[:, 0]               # [B, V]
+        W_i = jax.lax.dynamic_slice(
+            params.W, (i * V, 0), (V, params.padded_dim))          # [V, P]
+        F = F + jnp.dot(new - old, W_i,
+                        preferred_element_type=jnp.float32)
+        pos = (jnp.arange(L) == i).astype(x.dtype)                 # [L]
+        x = x * (1.0 - pos)[None, :, None] + pos[None, :, None] * new[:, None]
+        return (x, F), 0.0
+
+    keys = jax.random.split(key, L)
+    (x, F), _ = jax.lax.scan(one_pos, (x, F),
+                             (jnp.arange(L, dtype=jnp.int32), keys))
+    return x, F
+
+
+def gibbs_sample(params: PottsParams, key, n_chains: int,
+                 n_sweeps: int, x0: jnp.ndarray | None = None,
+                 beta: float = 1.0) -> jnp.ndarray:
+    """Sample [n_chains, L, V] window one-hots from p(x) ∝ exp(β·H(x)).
+
+    ``x0``: initial window one-hots [n_chains, L, V]; None = independent
+    per-position draws from the field-only distribution softmax(β·h) (a
+    good overdispersed start). One jitted lax.scan runs all sweeps.
+    """
+    L, V = params.seq_len, VOCAB
+    k_init, k_run = jax.random.split(key)
+    if x0 is None:
+        h = params.h[: L * V].reshape(L, V)
+        x0 = jax.nn.one_hot(
+            jax.random.categorical(k_init, beta * h[None],
+                                   shape=(n_chains, L)),
+            V, dtype=jnp.float32)
+
+    @jax.jit
+    def run(W_params, x0, keys):
+        F0 = _field(W_params, x0)
+
+        def body(carry, k):
+            x, F = carry
+            return gibbs_sweep(W_params, x, F, k, beta), 0.0
+
+        (x, _), _ = jax.lax.scan(body, (x0, F0), keys)
+        return x
+
+    return run(params, x0, jax.random.split(k_run, n_sweeps))
+
+
+# ---------------------------------------------------------------------------
 # parameter construction / serialization
 # ---------------------------------------------------------------------------
 
