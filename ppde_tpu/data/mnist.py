@@ -173,14 +173,18 @@ class MNISTSumPairs:
     """Iterable batches of (x1, x2, y=digit sum) with training noise.
 
     Training semantics per the reference MNISTsumTo (data/mnist.py:56-83):
-    dynamic binarization (Bernoulli on intensities), random pixel-flip noise
-    (p<=0.05), and +/-1 label noise with p=0.1 on 20% of labels — reference
-    applies label noise with rate 0.2 sign-flip of +/-1... we follow the
-    stated intent: noisy integer labels in training only.
+    dynamic binarization (Bernoulli on intensities), per-image pixel-flip
+    noise with rate p1,p2 ~ U{0..flip_maxp}% drawn independently for x1 and
+    x2 (INDEPENDENT flip masks), and Gaussian label smoothing y ~ N(y, 0.1)
+    — training splits only. ``flip_maxp`` defaults to 0 because the
+    reference regression trainer forces flip_maxp=0
+    (train_binary_mnist_regression.py:234): no flips, only binarization +
+    label smoothing.
     """
 
     def __init__(self, source: str, pair_file: str | None, split: str,
-                 seed: int = 0, train_noise: bool | None = None):
+                 seed: int = 0, train_noise: bool | None = None,
+                 flip_maxp: int = 0):
         if source.startswith("augmented"):
             raise ValueError(
                 "the 'augmented' source has no digit labels (seed-image "
@@ -190,6 +194,7 @@ class MNISTSumPairs:
         self.split = split
         self.train_noise = (split == "train") if train_noise is None \
             else train_noise
+        self.flip_maxp = flip_maxp
         self.rng = np.random.default_rng(seed)
         if pair_file is not None and os.path.exists(pair_file):
             self.pairs = load_pair_indices(pair_file)
@@ -226,12 +231,14 @@ class MNISTSumPairs:
             x1 = (self.rng.random(x1.shape) < x1).astype(np.float32)
             x2 = (self.rng.random(x2.shape) < x2).astype(np.float32)
             if self.train_noise:
-                p = self.rng.random() * 0.05
-                for x in (x1, x2):
-                    flip = self.rng.random(x.shape) < p
-                    x[flip] = 1.0 - x[flip]
-                noise_mask = self.rng.random(len(y)) < 0.2
-                y = y + noise_mask * self.rng.choice([-1.0, 1.0], len(y))
+                if self.flip_maxp > 0:
+                    # per-image flip percent + independent masks per image
+                    for x in (x1, x2):
+                        p = self.rng.integers(
+                            0, self.flip_maxp + 1, (len(x), 1)) / 100.0
+                        flip = self.rng.random(x.shape) < p
+                        x[flip] = 1.0 - x[flip]
+                y = y + 0.1 * self.rng.standard_normal(len(y))
             yield x1, x2, y
             count += 1
 

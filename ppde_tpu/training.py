@@ -42,15 +42,18 @@ def load_ckpt(path: str, params_like):
     return jax.tree.unflatten(treedef, loaded), int(z["step"])
 
 
-def _chunked(n_iters: int, chunk: int, *cadences: int):
-    """Yield (done, size) chunks, clamped so every log/checkpoint cadence
-    boundary lands exactly on a chunk boundary."""
-    for c in cadences:
-        if c > 0:
-            chunk = min(chunk, c)
+def _chunked(n_iters: int, chunk: int, *cadences: int, start: int = 0):
+    """Yield (done, size) chunks, sized so every log/checkpoint cadence
+    boundary lands exactly on a chunk boundary — including cadences that do
+    not divide ``chunk`` (a chunk is shortened to end at the next boundary).
+    ``start``: absolute step offset of done=0 (resumed runs), so boundaries
+    stay aligned to absolute steps."""
     done = 0
     while done < n_iters:
         size = min(chunk, n_iters - done)
+        for c in cadences:
+            if c > 0:
+                size = min(size, c - (start + done) % c)
         yield done, size
         done += size
 
@@ -64,10 +67,15 @@ def train_regression(dataset, nc: int = 16, n_iters: int = 25000,
                      weight_decay: float = 1e-4, seed: int = 0,
                      log_every: int = 1000, ckpt_path: str | None = None,
                      ckpt_every: int = 5000, quiet: bool = False,
-                     chunk: int = 250):
+                     chunk: int = 250, flip_maxp: int = 0):
     """dataset: MNISTSumPairs — its images/labels/pairs go on device; the
-    dynamic binarization, pixel-flip noise and label noise (reference
-    data/mnist.py:56-83) are re-drawn per step with jax.random."""
+    dynamic binarization, pixel-flip noise and label noise are re-drawn per
+    step with jax.random, matching the reference's training semantics
+    (data/mnist.py:56-83): per-image flip rates p1,p2 ~ U{0..flip_maxp}%
+    with INDEPENDENT masks, and Gaussian label smoothing y ~ N(y, 0.1).
+    ``flip_maxp`` defaults to 0 — the reference regression trainer forces
+    flip_maxp=0 (train_binary_mnist_regression.py:234), i.e. no pixel
+    flips, only binarization + label smoothing."""
     params = mnist_nets.regression_init(jax.random.PRNGKey(seed), nc=nc)
     opt = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = opt.init(params)
@@ -77,37 +85,42 @@ def train_regression(dataset, nc: int = 16, n_iters: int = 25000,
     pairs = jnp.asarray(dataset.pairs)            # [P, 2]
     train_noise = dataset.train_noise
 
-    def one_step(carry, key):
-        params, opt_state = carry
-        k_sel, k_b1, k_b2, k_noise, k_flip, k_lab, k_sign = \
-            jax.random.split(key, 7)
-        sel = jax.random.randint(k_sel, (batch_size,), 0, pairs.shape[0])
-        a, b = pairs[sel, 0], pairs[sel, 1]
-        x1 = (jax.random.uniform(k_b1, (batch_size, images.shape[1]))
-              < images[a]).astype(jnp.float32)
-        x2 = (jax.random.uniform(k_b2, (batch_size, images.shape[1]))
-              < images[b]).astype(jnp.float32)
-        y = labels[a] + labels[b]
-        if train_noise:
-            p = jax.random.uniform(k_noise) * 0.05
-            flip = jax.random.bernoulli(k_flip, p, x1.shape)
-            x1 = jnp.where(flip, 1.0 - x1, x1)
-            x2 = jnp.where(flip, 1.0 - x2, x2)
-            noisy = jax.random.bernoulli(k_lab, 0.2, y.shape)
-            sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, y.shape),
-                             1.0, -1.0)
-            y = y + noisy * sign
-
-        def loss_fn(p_):
-            pred = mnist_nets.regression_apply(p_, x1, x2)
-            return jnp.mean((pred - y) ** 2)
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
+    # datasets enter the jitted chunk as ARGUMENTS, not closures — captured
+    # arrays are baked into the HLO and re-streamed per execution (CLAUDE.md)
     @jax.jit
-    def run_chunk(params, opt_state, key, length_keys):
+    def run_chunk(params, opt_state, images, labels, pairs, length_keys):
+        def one_step(carry, key):
+            params, opt_state = carry
+            k_sel, k_b1, k_b2, k_p1, k_p2, k_f1, k_f2, k_lab = \
+                jax.random.split(key, 8)
+            sel = jax.random.randint(k_sel, (batch_size,), 0, pairs.shape[0])
+            a, b = pairs[sel, 0], pairs[sel, 1]
+            x1 = (jax.random.uniform(k_b1, (batch_size, images.shape[1]))
+                  < images[a]).astype(jnp.float32)
+            x2 = (jax.random.uniform(k_b2, (batch_size, images.shape[1]))
+                  < images[b]).astype(jnp.float32)
+            y = labels[a] + labels[b]
+            if train_noise:
+                if flip_maxp > 0:
+                    # per-image integer flip percent, independent masks
+                    p1 = jax.random.randint(
+                        k_p1, (batch_size, 1), 0, flip_maxp + 1) / 100.0
+                    p2 = jax.random.randint(
+                        k_p2, (batch_size, 1), 0, flip_maxp + 1) / 100.0
+                    f1 = jax.random.uniform(k_f1, x1.shape) < p1
+                    f2 = jax.random.uniform(k_f2, x2.shape) < p2
+                    x1 = jnp.where(f1, 1.0 - x1, x1)
+                    x2 = jnp.where(f2, 1.0 - x2, x2)
+                y = y + 0.1 * jax.random.normal(k_lab, y.shape)
+
+            def loss_fn(p_):
+                pred = mnist_nets.regression_apply(p_, x1, x2)
+                return jnp.mean((pred - y) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
         (params, opt_state), losses = jax.lax.scan(
             one_step, (params, opt_state), length_keys)
         return params, opt_state, losses.mean()
@@ -115,13 +128,14 @@ def train_regression(dataset, nc: int = 16, n_iters: int = 25000,
     key = jax.random.PRNGKey(seed + 1)
     for done, size in _chunked(n_iters, chunk, log_every, ckpt_every):
         key, k = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state, k,
+        params, opt_state, loss = run_chunk(params, opt_state, images,
+                                            labels, pairs,
                                             jax.random.split(k, size))
         step = done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
             print(f"[regression] iter {step} mse {float(loss):.4f}",
                   flush=True)
-        if ckpt_path and step % ckpt_every == 0:
+        if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
             save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params
 
@@ -159,42 +173,44 @@ def train_dae(images: np.ndarray, latent_dim: int = 16, n_channels: int = 64,
 
     data = jnp.asarray(images)
 
-    def one_step(carry, key):
-        params, opt_state = carry
-        k_sel, k_corrupt = jax.random.split(key)
-        sel = jax.random.randint(k_sel, (batch_size,), 0, data.shape[0])
-        x = data[sel]
-        noised = mnist_nets.dae_corrupt(k_corrupt, x, max_p)
-
-        def loss_fn(p_):
-            z = mnist_nets.dae_encode(p_, noised)
-            logits = mnist_nets.dae_decode(p_, z)
-            logits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(
-                x.shape[0], -1)
-            bce = (jnp.maximum(logits, 0) - logits * x
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-            return jnp.mean(jnp.sum(bce, -1))
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
+    # the dataset enters the jitted chunk as an ARGUMENT, not a closure
+    # (captured arrays are baked into the HLO + re-streamed per execution)
     @jax.jit
-    def run_chunk(params, opt_state, keys):
+    def run_chunk(params, opt_state, data, keys):
+        def one_step(carry, key):
+            params, opt_state = carry
+            k_sel, k_corrupt = jax.random.split(key)
+            sel = jax.random.randint(k_sel, (batch_size,), 0, data.shape[0])
+            x = data[sel]
+            noised = mnist_nets.dae_corrupt(k_corrupt, x, max_p)
+
+            def loss_fn(p_):
+                z = mnist_nets.dae_encode(p_, noised)
+                logits = mnist_nets.dae_decode(p_, z)
+                logits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(
+                    x.shape[0], -1)
+                bce = (jnp.maximum(logits, 0) - logits * x
+                       + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+                return jnp.mean(jnp.sum(bce, -1))
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
         (params, opt_state), losses = jax.lax.scan(
             one_step, (params, opt_state), keys)
         return params, opt_state, losses.mean()
 
     key = jax.random.PRNGKey(seed + 1)
     for done, size in _chunked(n_iters - start, chunk, log_every,
-                               ckpt_every):
+                               ckpt_every, start=start):
         key, k = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state,
+        params, opt_state, loss = run_chunk(params, opt_state, data,
                                             jax.random.split(k, size))
         step = start + done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
             print(f"[dae] iter {step} bce {float(loss):.3f}", flush=True)
-        if ckpt_path and step % ckpt_every == 0:
+        if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
             save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params
 
@@ -386,11 +402,12 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
     aa_lo = esm2.ESM_TOK_TO_IDX["L"]
     aa_hi = esm2.ESM_TOK_TO_IDX["C"]
 
-    # base params enter the jitted chunk as an ARGUMENT, not a closure —
-    # closed-over trees are baked into the HLO as constants (CLAUDE.md:
-    # ~300s compile for 90MB; fatal at 650M)
+    # base params AND the token dataset enter the jitted chunk as
+    # ARGUMENTS, not closures — closed-over trees are baked into the HLO as
+    # constants (CLAUDE.md: ~300s compile for 90MB; fatal at 650M) and
+    # re-streamed per execution
     @jax.jit
-    def run_chunk(base, train, opt_state, keys):
+    def run_chunk(base, train, opt_state, data, logw, keys):
         def one_step(carry, key):
             train, opt_state = carry
             k_sel, k_corrupt = jax.random.split(key)
@@ -428,9 +445,10 @@ def train_esm_mlm(seqs, name: str = "transformer-S", params=None,
     ck_tag = "_lora_" if lora_rank else "_ckpt_"
     key = jax.random.PRNGKey(seed + 3)
     for done, size in _chunked(n_iters - start, chunk, log_every,
-                               ckpt_every):
+                               ckpt_every, start=start):
         key, k = jax.random.split(key)
         train, opt_state, loss = run_chunk(params, train, opt_state,
+                                           data, logw,
                                            jax.random.split(k, size))
         step = start + done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
@@ -477,7 +495,7 @@ def msa_mlm_heldout_ce(params, msa_rows, name: str = "msa-S",
     R = min(block_rows, toks.shape[0])
 
     @jax.jit
-    def one(p_, key):
+    def one(p_, toks, key):
         def body(carry, k):
             k_sel, k_corrupt = jax.random.split(k)
             sel = jax.random.randint(k_sel, (R,), 0, toks.shape[0])
@@ -495,7 +513,7 @@ def msa_mlm_heldout_ce(params, msa_rows, name: str = "msa-S",
             body, (0.0, 0.0), jax.random.split(key, n_repeats))
         return num / jnp.maximum(den, 1.0)
 
-    return float(one(cparams, jax.random.PRNGKey(seed)))
+    return float(one(cparams, toks, jax.random.PRNGKey(seed)))
 
 
 def train_msa_mlm(msa_rows, name: str = "msa-S", params=None,
@@ -568,8 +586,10 @@ def train_msa_mlm(msa_rows, name: str = "msa-S", params=None,
         logw = jnp.zeros((toks.shape[0],), jnp.float32)
     R = min(block_rows, toks.shape[0])
 
+    # the token dataset enters the jitted chunk as an ARGUMENT, not a
+    # closure (captured arrays: HLO constants + per-execution re-streaming)
     @jax.jit
-    def run_chunk(params, opt_state, keys):
+    def run_chunk(params, opt_state, data, logw, keys):
         def one_step(carry, key):
             params, opt_state = carry
             k_sel, k_corrupt = jax.random.split(key)
@@ -598,9 +618,9 @@ def train_msa_mlm(msa_rows, name: str = "msa-S", params=None,
 
     key = jax.random.PRNGKey(seed + 3)
     for done, size in _chunked(n_iters - start, chunk, log_every,
-                               ckpt_every):
+                               ckpt_every, start=start):
         key, k = jax.random.split(key)
-        params, opt_state, loss = run_chunk(params, opt_state,
+        params, opt_state, loss = run_chunk(params, opt_state, data, logw,
                                             jax.random.split(k, size))
         step = start + done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
@@ -675,47 +695,52 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
 
     mean_j = jnp.asarray(np.asarray(mean), jnp.float32)
 
-    def one_step(carry, key):
-        params, opt_state, buffer = carry
-        (k_data, k_bin, k_buf, k_chain,
-         k_re, k_re_bin, k_noise) = jax.random.split(key, 7)
-        sel = jax.random.randint(k_data, (batch_size,), 0, data.shape[0])
-        x_data = (jax.random.uniform(k_bin, (batch_size, data.shape[1]))
-                  < data[sel]).astype(jnp.float32)
-        if data_noise_p > 0:
-            flip = (jax.random.uniform(k_noise, x_data.shape)
-                    < data_noise_p).astype(jnp.float32)
-            x_data = x_data * (1 - flip) + (1 - x_data) * flip
-        bsel = jax.random.randint(k_buf, (batch_size,), 0, buffer.shape[0])
-        x0 = buffer[bsel]
-        # restart a fraction of chains from the Bernoulli base each step
-        re = jax.random.uniform(k_re, (batch_size, 1)) < reinit_p
-        fresh = (jax.random.uniform(k_re_bin, x0.shape)
-                 < mean_j[None]).astype(jnp.float32)
-        x0 = jnp.where(re, fresh, x0)
-
-        def chain_body(x, k):
-            return gwg_flip_step(params, x, k), ()
-
-        x_model, _ = jax.lax.scan(chain_body, x0,
-                                  jax.random.split(k_chain, sampling_steps))
-
-        def loss_fn(p_):
-            lp_data = mnist_nets.ebm_log_prob(p_, x_data).mean()
-            lp_model = mnist_nets.ebm_log_prob(p_, x_model).mean()
-            reg = p_control * (
-                (mnist_nets.ebm_net_apply(p_, x_data) ** 2).mean()
-                + (mnist_nets.ebm_net_apply(p_, x_model) ** 2).mean())
-            return -(lp_data - lp_model) + reg, (lp_data, lp_model)
-
-        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(g, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        buffer = buffer.at[bsel].set(x_model)
-        return (params, opt_state, buffer), (loss, aux[0], aux[1])
-
+    # the dataset + base mean enter the jitted chunk as ARGUMENTS, not
+    # closures (captured arrays: HLO constants + per-execution re-streaming)
     @jax.jit
-    def run_chunk(params, opt_state, buffer, keys):
+    def run_chunk(params, opt_state, buffer, data, mean_j, keys):
+        def one_step(carry, key):
+            params, opt_state, buffer = carry
+            (k_data, k_bin, k_buf, k_chain,
+             k_re, k_re_bin, k_noise) = jax.random.split(key, 7)
+            sel = jax.random.randint(k_data, (batch_size,), 0,
+                                     data.shape[0])
+            x_data = (jax.random.uniform(k_bin, (batch_size, data.shape[1]))
+                      < data[sel]).astype(jnp.float32)
+            if data_noise_p > 0:
+                flip = (jax.random.uniform(k_noise, x_data.shape)
+                        < data_noise_p).astype(jnp.float32)
+                x_data = x_data * (1 - flip) + (1 - x_data) * flip
+            bsel = jax.random.randint(k_buf, (batch_size,), 0,
+                                      buffer.shape[0])
+            x0 = buffer[bsel]
+            # restart a fraction of chains from the Bernoulli base each step
+            re = jax.random.uniform(k_re, (batch_size, 1)) < reinit_p
+            fresh = (jax.random.uniform(k_re_bin, x0.shape)
+                     < mean_j[None]).astype(jnp.float32)
+            x0 = jnp.where(re, fresh, x0)
+
+            def chain_body(x, k):
+                return gwg_flip_step(params, x, k), ()
+
+            x_model, _ = jax.lax.scan(
+                chain_body, x0, jax.random.split(k_chain, sampling_steps))
+
+            def loss_fn(p_):
+                lp_data = mnist_nets.ebm_log_prob(p_, x_data).mean()
+                lp_model = mnist_nets.ebm_log_prob(p_, x_model).mean()
+                reg = p_control * (
+                    (mnist_nets.ebm_net_apply(p_, x_data) ** 2).mean()
+                    + (mnist_nets.ebm_net_apply(p_, x_model) ** 2).mean())
+                return -(lp_data - lp_model) + reg, (lp_data, lp_model)
+
+            (loss, aux), g = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            buffer = buffer.at[bsel].set(x_model)
+            return (params, opt_state, buffer), (loss, aux[0], aux[1])
+
         (params, opt_state, buffer), (losses, lpd, lpm) = jax.lax.scan(
             one_step, (params, opt_state, buffer), keys)
         return params, opt_state, buffer, losses.mean(), lpd.mean(), lpm.mean()
@@ -725,12 +750,13 @@ def train_ebm(images: np.ndarray, n_channels: int = 64, n_iters: int = 10000,
     for done, size in _chunked(n_iters, chunk, log_every, ckpt_every):
         key, k = jax.random.split(key)
         params, opt_state, buffer, loss, lpd, lpm = run_chunk(
-            params, opt_state, buffer, jax.random.split(k, size))
+            params, opt_state, buffer, data, mean_j,
+            jax.random.split(k, size))
         step = done + size
         if not quiet and (step % log_every == 0 or step == n_iters):
             print(f"[ebm] iter {step} obj {float(loss):.3f} "
                   f"logp_data {float(lpd):.1f} logp_model {float(lpm):.1f}",
                   flush=True)
-        if ckpt_path and step % ckpt_every == 0:
+        if ckpt_path and (step % ckpt_every == 0 or step == n_iters):
             save_ckpt(f"{ckpt_path}_ckpt_{step}.npz", params, step)
     return params

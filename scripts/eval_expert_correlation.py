@@ -119,8 +119,15 @@ def main(args):
             args.esm_model, wt, weights_path=args.esm_weights,
             allow_random=args.esm_weights is None)
         fn = jax.jit(apply_fn)
-        cs = [np.asarray(fn(params, x[s:s + args.esm_chunk]))
-              for s in range(0, args.n_mutants, args.esm_chunk)]
+        # pad the ragged tail chunk to esm_chunk: a second program SHAPE
+        # costs ~3-4 min through the remote-compile tunnel (CLAUDE.md)
+        cs = []
+        for s in range(0, args.n_mutants, args.esm_chunk):
+            xc = x[s:s + args.esm_chunk]
+            short = args.esm_chunk - xc.shape[0]
+            if short:
+                xc = jnp.concatenate([xc, jnp.repeat(xc[:1], short, 0)])
+            cs.append(np.asarray(fn(params, xc))[:args.esm_chunk - short])
         tag = ("transformer_finetuned" if args.esm_weights
                else "transformer_random")
         scores[tag] = np.concatenate(cs)

@@ -88,7 +88,7 @@ def build_parser():
     return p
 
 
-def family_in_wt_context(msa_path: str, wt_seq: str) -> list[str]:
+def family_in_wt_context(rows, msa_path: str, wt_seq: str) -> list[str]:
     """Embed each MSA row's focus-column residues into the full wild type.
 
     The expert scores FULL-length gap-free sequences (the sampler's state),
@@ -97,10 +97,12 @@ def family_in_wt_context(msa_path: str, wt_seq: str) -> list[str]:
     token distribution than scoring sees. This splices each family row into
     WT coordinates: focus column j of the alignment sits at full-sequence
     position focus_columns()[j]; alignment gaps impute the WT residue.
+    ``rows``: the already-loaded io.load_msa(msa_path) pairs (the alignment
+    is parsed once by the caller; focus_columns reads only the first
+    record's header block).
     """
     from ppde_tpu import io
 
-    rows = io.load_msa(msa_path)
     fc = io.focus_columns(msa_path)
     if fc and fc[-1] >= len(wt_seq):
         raise SystemExit(
@@ -142,7 +144,7 @@ def load_family(args):
                   flush=True)
         if args.wt_fasta:
             wt = io.read_fasta(args.wt_fasta)[0]
-            seqs = family_in_wt_context(args.msa, wt)
+            seqs = family_in_wt_context(rows, args.msa, wt)
         else:
             seqs = [s for _, s in rows]
     else:

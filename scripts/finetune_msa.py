@@ -66,13 +66,14 @@ def main(args):
     from ppde_tpu import io, training
     from ppde_tpu.models import msa_transformer as msat
 
-    rows = [s for _, s in io.load_msa(args.msa)]
+    pairs = io.load_msa(args.msa)  # parse the alignment once
+    rows = [s for _, s in pairs]
     weights = None
     if args.reweight:
         from ppde_tpu.models import potts_fit
 
         weights = potts_fit.sequence_weights(
-            potts_fit.msa_to_onehot(io.load_msa(args.msa)),
+            potts_fit.msa_to_onehot(pairs),
             identity=args.reweight_identity)
         print(f"[finetune_msa] phylogenetic reweighting: effective sample "
               f"size {weights.sum():.1f} of {len(rows)}", flush=True)

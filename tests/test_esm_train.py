@@ -149,7 +149,9 @@ def test_family_in_wt_context(tmp_path):
     # focus columns of the first record: 0,1,3,4 ('k' is lowercase)
     a2m.write_text(">WT/10-14\nACkDE\n>fam1\nAGz-E\n")
     wt = "ACKDE"  # full WT: focus positions carry A,C,D,E; pos 2 is WT's K
-    seqs = fe.family_in_wt_context(str(a2m), wt)
+    from ppde_tpu import io as pio
+
+    seqs = fe.family_in_wt_context(pio.load_msa(str(a2m)), str(a2m), wt)
     assert seqs[0] == wt
     # fam1 focus chars (A,G,-,E) land at full positions (0,1,3,4): G
     # substitutes at 1, the gap at focus position 3 imputes WT's 'D', and

@@ -39,8 +39,10 @@ def test_synthetic_mnist_pairs():
     assert x1.shape == x2.shape == (16, 784)
     assert set(np.unique(x1)).issubset({0.0, 1.0})
     assert y.shape == (16,)
-    # bounded-sum pairs (plus +-1 label noise)
+    # bounded-sum pairs (plus N(y, 0.1) label smoothing, reference
+    # data/mnist.py:81)
     assert y.max() <= 11.0
+    assert not np.all(y == np.round(y))  # label smoothing applied
 
     val = dmnist.MNISTSumPairs("synthetic", None, "val", seed=1,
                                train_noise=False)
