@@ -35,7 +35,14 @@ def _atomic_savez(path: str, **arrays):
 
 
 def save(ckpt_dir: str, state, key, steps_done: int, records: dict | None):
-    """Persist sampler state at a segment boundary (atomic)."""
+    """Persist sampler state at a segment boundary (atomic).
+
+    Every record value is persisted: arrays as-is, scalars (python floats /
+    ints, e.g. steps_per_sec) as 0-d arrays that ``load`` converts back.
+    A value that cannot round-trip through ``np.asarray`` (object dtype)
+    raises immediately, naming the key — silently dropping a record and
+    discovering the asymmetry at resume time is the failure mode this
+    guards against."""
     flat, _ = jax.tree.flatten(jax.device_get(state))
     _atomic_savez(os.path.join(ckpt_dir, "state.npz"),
                   key=np.asarray(jax.device_get(key)),
@@ -43,9 +50,16 @@ def save(ckpt_dir: str, state, key, steps_done: int, records: dict | None):
                   n_leaves=np.asarray(len(flat)),
                   **{f"leaf{i}": a for i, a in enumerate(flat)})
     if records:
-        _atomic_savez(os.path.join(ckpt_dir, "records.npz"),
-                      **{k: np.asarray(v) for k, v in records.items()
-                         if isinstance(v, np.ndarray)})
+        out = {}
+        for k, v in records.items():
+            arr = np.asarray(jax.device_get(v))
+            if arr.dtype == object:
+                raise TypeError(
+                    f"checkpoint record {k!r}: value of type "
+                    f"{type(v).__name__} does not convert to a numeric "
+                    "array — records must be arrays or scalars")
+            out[k] = arr
+        _atomic_savez(os.path.join(ckpt_dir, "records.npz"), **out)
 
 
 def exists(ckpt_dir: str) -> bool:
@@ -90,6 +104,48 @@ def load(ckpt_dir: str, state_like):
     records = {}
     rp = os.path.join(ckpt_dir, "records.npz")
     if os.path.exists(rp):
-        rz = np.load(rp)
-        records = {k: rz[k] for k in rz.files}
+        try:
+            rz = np.load(rp)
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint records file {rp} is unreadable "
+                f"({type(e).__name__}: {e}) — delete it (state.npz alone "
+                "resumes without histories) or restore it") from e
+        # 0-d arrays are persisted scalars (save's round-trip contract)
+        records = {k: (rz[k].item() if rz[k].ndim == 0 else rz[k])
+                   for k in rz.files}
     return state, key, steps_done, records
+
+
+def validate_records(prior: dict, fresh: dict, *,
+                     skip: tuple = ("oracle",)) -> None:
+    """Check that resumed record histories are concatenable with the
+    records a fresh segment produces, naming the offending key.
+
+    ``prior`` arrays carry a leading step axis accumulated so far; ``fresh``
+    values are one segment's records [seg_len, ...]. Scalars in ``prior``
+    (persisted throughput numbers etc.) are ignored — they are recomputed
+    every run. Keys in ``skip`` have their own cadence (oracle logs at
+    segment boundaries, not per step)."""
+    fresh_keys = {k for k, v in fresh.items() if np.ndim(v) >= 1}
+    prior_keys = {k for k, v in prior.items()
+                  if np.ndim(v) >= 1 and k not in skip}
+    missing = prior_keys - fresh_keys
+    extra = fresh_keys - prior_keys
+    if missing:
+        raise ValueError(
+            f"checkpoint records carry keys {sorted(missing)} the resumed "
+            "run no longer produces — the run configuration changed since "
+            "this checkpoint was written")
+    if extra:
+        raise ValueError(
+            f"resumed run produces record keys {sorted(extra)} absent from "
+            "the checkpoint — the run configuration changed since this "
+            "checkpoint was written")
+    for k in sorted(prior_keys):
+        ps, fs = np.shape(prior[k])[1:], np.shape(fresh[k])[1:]
+        if ps != fs:
+            raise ValueError(
+                f"checkpoint record {k!r}: stored per-step shape {ps} != "
+                f"resumed run's {fs} — the run configuration changed since "
+                "this checkpoint was written")

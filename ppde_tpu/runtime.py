@@ -160,6 +160,69 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         pass
 
 
+def potts_provenance(protein_dir: str) -> str:
+    """Which Potts parameters a run used (PARITY.md's provenance markers):
+    'reference-pkl' (the reference's own artifact), 'refit' (our
+    scripts/fit_potts.py npz), or 'synthetic' (deterministic fallback for
+    the proteins whose potts.pkl is a missing upstream blob)."""
+    if os.path.exists(os.path.join(protein_dir, "potts.pkl")):
+        return "reference-pkl"
+    if os.path.exists(os.path.join(protein_dir, "potts.npz")):
+        return "refit"
+    return "synthetic"
+
+
+def _q(v, qs=(0.2, 0.4, 0.5, 0.6, 0.8, 0.9, 1.0)):
+    v = np.asarray(v, dtype=np.float64)
+    return {f"p{int(q * 100)}": round(float(np.quantile(v, q)), 4)
+            for q in qs}
+
+
+def cell_summary(args, run_dir, *, population, wt_onehot, oracle_scores,
+                 fitness, energy, potts_scores, transformer_scores,
+                 steps_per_sec, wall_steps_per_sec,
+                 potts_provenance) -> dict:
+    """Machine-readable sweep-cell summary: the numbers PARITY.md's tables
+    quote (diversity / exploration / score quantiles / throughput), plus
+    enough config + provenance to interpret them without the run dir."""
+    from ppde_tpu import metrics
+
+    em, es = metrics.exploration(population, wt_onehot)
+    summary = {
+        "protein": args.protein,
+        "sampler": args.sampler,
+        "seed": args.seed,
+        "n_iters": args.n_iters,
+        "n_chains": args.n_chains,
+        "energy_function": args.energy_function,
+        "unsupervised_expert": args.unsupervised_expert,
+        "energy_lamda": args.energy_lamda,
+        "nmut_threshold": args.nmut_threshold,
+        "reference_reverse": bool(getattr(args, "ppde_reference_reverse",
+                                          False)),
+        "run_signature": args.run_signature,
+        "potts_provenance": potts_provenance,
+        "diversity_pct": round(metrics.diversity_pct(population), 2),
+        "exploration_mean": round(em, 3),
+        "exploration_std": round(es, 3),
+        "oracle_logfit": _q(oracle_scores),
+        "pred_fitness": _q(fitness),
+        "energy": _q(energy),
+        "potts_delta": _q(potts_scores),
+        "steps_per_sec": round(float(steps_per_sec), 2),
+        "wall_steps_per_sec": round(float(wall_steps_per_sec), 2),
+        "run_dir": str(run_dir),
+        # stable copy location (if any): post-hoc density scoring
+        # (scripts/eval_proteins.py --update_summary) updates both files
+        "summary_json": getattr(args, "summary_json", "") or None,
+    }
+    if transformer_scores is not None:
+        summary["evolutionary_density"] = _q(transformer_scores)
+        summary["msa_transformer_model"] = args.msa_transformer_model
+        summary["msa_transformer_weights"] = args.msa_transformer_weights
+    return summary
+
+
 def dump_config(args, path):
     with open(path, "w") as f:
         json.dump({k: (v if isinstance(v, (int, float, str, bool, type(None)))

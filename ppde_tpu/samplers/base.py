@@ -101,13 +101,18 @@ def run_segmented(
     oracle_hist: list = []
     start_steps = 0
 
+    resumed_with_records = False
     if checkpoint_dir is not None and ckpt.exists(checkpoint_dir):
         state, key, start_steps, prior = ckpt.load(checkpoint_dir, init_state)
         if prior:
             oracle_hist = ([o for o in prior.pop("oracle")]
                            if "oracle" in prior else [])
+            # persisted scalars (steps_per_sec etc.) are recomputed each
+            # run; only array histories are carried into the concat path
+            prior = {k: v for k, v in prior.items() if np.ndim(v) >= 1}
             if prior:
                 all_ys.append(prior)
+                resumed_with_records = True
         if not quiet:
             print(f"[resume] restored checkpoint at step {start_steps} from "
                   f"{checkpoint_dir}", flush=True)
@@ -135,7 +140,13 @@ def run_segmented(
         seg_idx += 1
         if oracle_jit is not None:
             oracle_hist.append(jax.device_get(oracle_jit(ctx, state)))
-        all_ys.append(jax.device_get(ys))
+        ys_host = jax.device_get(ys)
+        if resumed_with_records:
+            # fail with a named key if the resumed config's records can't
+            # concatenate onto the checkpointed histories
+            ckpt.validate_records(all_ys[0], ys_host)
+            resumed_with_records = False
+        all_ys.append(ys_host)
         if log_fn is not None and not quiet:
             log_fn(done, state, all_ys[-1],
                    oracle_hist[-1] if oracle_hist else None)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import json
 import os
 import sys
 from pathlib import Path
@@ -136,6 +137,7 @@ def main(args):
     np.save(results_path / "energy_history.npy", res.energy_history)
     np.save(results_path / "fitness_history.npy", res.fitness_history)
 
+    tscore = None
     if not args.disable_MSA_transformer_scoring:
         from ppde_tpu import metrics
 
@@ -149,6 +151,25 @@ def main(args):
         except FileNotFoundError as e:
             print(f"[skip] MSA-Transformer scoring unavailable: {e}",
                   flush=True)
+
+    # machine-readable cell summary: every number PARITY.md quotes for this
+    # run, committable as a small JSON (the reference only dumps .npy blobs,
+    # directed_evolution.py:92-101 — its tables are not machine-checkable)
+    summary = runtime.cell_summary(
+        args, results_path, population=np.asarray(res.best_x),
+        wt_onehot=np.asarray(pop[0])[None], oracle_scores=best_oracle,
+        fitness=np.asarray(res.best_fitness),
+        energy=np.asarray(res.best_energy), potts_scores=potts_score,
+        transformer_scores=tscore, steps_per_sec=res.steps_per_sec,
+        wall_steps_per_sec=res.wall_steps_per_sec,
+        potts_provenance=runtime.potts_provenance(protein_dir))
+    with open(results_path / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    if args.summary_json:
+        os.makedirs(os.path.dirname(os.path.abspath(args.summary_json)),
+                    exist_ok=True)
+        with open(args.summary_json, "w") as f:
+            json.dump(summary, f, indent=2)
 
     print("done")
     return results_path
@@ -194,6 +215,11 @@ def build_parser():
                    help="msa_transformer.CONFIGS key the weights belong to")
     g.add_argument("--allow_random_esm", action="store_true",
                    help="use randomly-initialized ESM2 (smoke tests only)")
+    g.add_argument("--summary_json", type=str, default="",
+                   help="also write the machine-readable cell summary to "
+                        "this stable path (a summary.json is always written "
+                        "into the timestamped run dir); PARITY.md's tables "
+                        "cite these")
     g.add_argument("--checkpoint_dir", type=str, default="",
                    help="persist sampler state each log segment and resume "
                         "from an existing checkpoint (capability absent "

@@ -36,6 +36,35 @@ def main(args):
         np.save(os.path.join(rd, "transformer_scores.npy"), scores)
         print(f"{rd}: median {np.median(scores):.3f} "
               f"max {scores.max():.3f}")
+        if args.update_summary:
+            update_summaries(rd, scores, args)
+
+
+def update_summaries(run_dir, scores, args):
+    """Fold post-hoc evolutionary-density quantiles into the run's
+    machine-readable summary.json AND its stable --summary_json copy (the
+    committed evidence PARITY.md cites), keeping the two identical."""
+    import json
+
+    from ppde_tpu import runtime
+
+    sp = os.path.join(run_dir, "summary.json")
+    if not os.path.exists(sp):
+        return
+    with open(sp) as f:
+        summary = json.load(f)
+    summary["evolutionary_density"] = runtime._q(scores)
+    summary["msa_transformer_model"] = args.msa_transformer_model
+    summary["msa_transformer_weights"] = args.msa_transformer_weights
+    summary["density_msa_path"] = args.msa_path
+    summary["density_msa_size"] = args.msa_size
+    targets = [sp]
+    if summary.get("summary_json"):
+        targets.append(summary["summary_json"])
+    for t in targets:
+        with open(t, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"  updated {t}")
 
 
 if __name__ == "__main__":
@@ -50,4 +79,7 @@ if __name__ == "__main__":
     p.add_argument("--msa_transformer_weights", type=str, default=None)
     p.add_argument("--msa_transformer_model", type=str, default="msa-1b")
     p.add_argument("--allow_random_esm", action="store_true")
+    p.add_argument("--update_summary", action="store_true",
+                   help="fold density quantiles into each run's "
+                        "summary.json and its stable --summary_json copy")
     main(p.parse_args())

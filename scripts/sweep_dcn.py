@@ -41,11 +41,53 @@ PROTEINS = sorted({p for p, _ in LAMBDA})
 MCMC_BASELINES = ("simulated_annealing", "Random", "MALA-approx")
 
 
+def discover_family(root, proteins, model="transformer-S"):
+    """Find per-protein family-expert artifacts under ``root``
+    (scripts/run_esm_family.sh's outputs): the highest-step fine-tuned
+    expert `<prot>_<model>_ckpt_<N>.npz`, the highest-step msa-S density
+    scorer `<prot>_msat_S_ckpt_<N>.npz` (optional), and the family MSA the
+    expert was trained on (real a2m when the upstream blob exists,
+    provenance-marked synthetic otherwise — scripts/sample_potts_msa.py).
+
+    Returns {protein: {"ckpt", "scorer", "msa"}} for proteins whose expert
+    checkpoint exists; deterministic (sorted) so every DCN host agrees.
+    """
+    import glob
+
+    def latest(pattern):
+        hits = sorted(glob.glob(pattern),
+                      key=lambda p: int(p.rsplit("_", 1)[-1][:-4]))
+        return hits[-1] if hits else None
+
+    fam = {}
+    for prot in sorted(proteins):
+        ckpt = latest(os.path.join(root, f"{prot}_{model}_ckpt_*.npz"))
+        if not ckpt:
+            continue
+        short = prot.split("_")[0]
+        scorer = (latest(os.path.join(root, f"{prot}_msat_S_ckpt_*.npz"))
+                  or latest(os.path.join(root, f"{short}_msat_S_ckpt_*.npz")))
+        real = sorted(glob.glob(
+            os.path.join(REPO, "data", "proteins", f"{short}_*.a2m")))
+        synth = os.path.join(REPO, "data", "proteins", "synthetic",
+                             f"{prot}_synth.a2m")
+        msa = next((m for m in real + [synth] if os.path.exists(m)), None)
+        fam[prot] = {"ckpt": ckpt, "scorer": scorer, "msa": msa}
+    return fam
+
+
 def build_grid(seeds, n_iters, cmaes_iters, esm_weights=None,
-               experts=("potts",)):
+               experts=("potts",), family=None, family_iters=2500,
+               family_model="transformer-S"):
     """The canonical cells, in a deterministic order every host agrees on.
 
     Returns a list of dicts: {name, argv} — argv for directed_evolution.py.
+
+    ``family`` ({protein: {"ckpt", "scorer", "msa"}}, see discover_family)
+    appends the family-expert cells (PARITY.md "Family-trained ESM2
+    expert"): PPDE with potts+<model> and with <model> alone at the
+    published transformer lambda, evolutionary density scored by the
+    per-protein msa-S scorer when one exists.
     """
     cells = []
 
@@ -90,6 +132,21 @@ def build_grid(seeds, n_iters, cmaes_iters, esm_weights=None,
                     "--unsupervised_expert", expert, "--energy_lamda", lam,
                     "--n_iters", n_iters, "--seed", seed,
                     "--run_signature", f"{sig}_pt", *extra)
+        for prot, art in sorted((family or {}).items()):
+            lam = LAMBDA.get((prot, "transformer-M"), 1.0)  # published λ
+            score = ([] if not (art.get("scorer") and art.get("msa")) else
+                     ["--msa_transformer_model", "msa-S",
+                      "--msa_transformer_weights", art["scorer"],
+                      "--msa_path", art["msa"]])
+            for expert, tag in ((f"potts+{family_model}",
+                                 f"potts+{family_model}_family"),
+                                (family_model, f"{family_model}_family")):
+                add(f"{prot}/family/{expert}/s{seed}",
+                    "--protein", prot, "--sampler", "PPDE",
+                    "--unsupervised_expert", expert,
+                    "--esm_weights", art["ckpt"], "--energy_lamda", lam,
+                    "--n_iters", family_iters, "--seed", seed,
+                    "--run_signature", tag, *score)
     return cells
 
 
@@ -122,6 +179,12 @@ def main(argv=None):
     ap.add_argument("--n_chains", type=int, default=128)
     ap.add_argument("--esm_weights", type=str, default="")
     ap.add_argument("--experts", type=str, nargs="+", default=["potts"])
+    ap.add_argument("--family_root", type=str, default="results/esm_family",
+                    help="directory holding run_esm_family.sh artifacts; "
+                         "proteins with a fine-tuned expert checkpoint "
+                         "there get family-expert cells (pass '' to skip)")
+    ap.add_argument("--family_model", type=str, default="transformer-S")
+    ap.add_argument("--family_iters", type=int, default=2500)
     ap.add_argument("--results_path", type=str, default="results/proteins")
     ap.add_argument("--checkpoint_root", type=str,
                     default="results/sweep_ckpts")
@@ -129,8 +192,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     host_id, num_hosts = detect_host(args)
+    family = (discover_family(args.family_root, PROTEINS, args.family_model)
+              if args.family_root else {})
     cells = build_grid(args.seeds, args.n_iters, args.cmaes_iters,
-                       args.esm_weights or None, tuple(args.experts))
+                       args.esm_weights or None, tuple(args.experts),
+                       family=family, family_iters=args.family_iters,
+                       family_model=args.family_model)
     mine = partition(cells, host_id, num_hosts)
     print(f"[sweep_dcn] host {host_id}/{num_hosts}: {len(mine)} of "
           f"{len(cells)} cells", flush=True)
@@ -148,8 +215,11 @@ def main(argv=None):
                *c["argv"], "--n_chains", str(args.n_chains),
                "--nmut_threshold", "10",
                "--results_path", args.results_path,
-               "--checkpoint_dir", ck,
-               "--disable_MSA_transformer_scoring"]
+               "--checkpoint_dir", ck]
+        if "--msa_transformer_weights" not in c["argv"]:
+            # no usable density scorer for this cell; skip the expensive
+            # (and weight-blocked by default) msa1b scoring pass
+            cmd.append("--disable_MSA_transformer_scoring")
         print(f"[sweep_dcn] running {c['name']}", flush=True)
         env = {**os.environ,
                "PYTHONPATH": REPO + ":" + os.environ.get("PYTHONPATH", "")}

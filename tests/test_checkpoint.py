@@ -87,6 +87,87 @@ def test_load_rejects_config_mismatch(tmp_path):
     np.testing.assert_array_equal(np.asarray(s2["b"]), np.zeros((2, 3)))
 
 
+def test_records_scalars_roundtrip_and_object_rejected(tmp_path):
+    """Scalar record values persist (as 0-d arrays) and load back as python
+    scalars; un-serializable values fail at save time naming the key."""
+    import pytest
+
+    from ppde_tpu import checkpoint as ckpt
+
+    state = {"a": jnp.arange(3.0)}
+    ckpt.save(str(tmp_path), state, jax.random.PRNGKey(0), 7,
+              {"energy": np.ones((4, 2)), "steps_per_sec": 123.4,
+               "n_levels": 8})
+    _, _, _, rec = ckpt.load(str(tmp_path), state)
+    assert rec["steps_per_sec"] == 123.4 and isinstance(
+        rec["steps_per_sec"], float)
+    assert rec["n_levels"] == 8
+    np.testing.assert_array_equal(rec["energy"], np.ones((4, 2)))
+
+    with pytest.raises(TypeError, match="'bad_key'"):
+        ckpt.save(str(tmp_path), state, jax.random.PRNGKey(0), 7,
+                  {"bad_key": object()})
+
+
+def test_records_validation_names_offending_key():
+    import pytest
+
+    from ppde_tpu import checkpoint as ckpt
+
+    prior = {"energy": np.ones((10, 4)), "traj": np.zeros((10, 7), np.int8),
+             "steps_per_sec": 5.0}
+    fresh = {"energy": np.ones((5, 4)), "traj": np.zeros((5, 7), np.int8)}
+    ckpt.validate_records(prior, fresh)  # compatible: no raise
+
+    with pytest.raises(ValueError, match=r"\['traj'\].*no longer produces"):
+        ckpt.validate_records(prior, {"energy": np.ones((5, 4))})
+    with pytest.raises(ValueError, match=r"\['extra'\].*absent"):
+        ckpt.validate_records(prior, dict(fresh, extra=np.ones((5, 2))))
+    with pytest.raises(ValueError, match="'energy'.*per-step shape"):
+        ckpt.validate_records(prior, {"energy": np.ones((5, 8)),
+                                      "traj": fresh["traj"]})
+
+
+def test_load_rejects_corrupt_records_file(tmp_path):
+    import pytest
+
+    from ppde_tpu import checkpoint as ckpt
+
+    state = {"a": jnp.arange(3.0)}
+    ckpt.save(str(tmp_path), state, jax.random.PRNGKey(0), 7,
+              {"energy": np.ones((4, 2))})
+    with open(tmp_path / "records.npz", "wb") as f:
+        f.write(b"not an npz")
+    with pytest.raises(ValueError, match="records.*unreadable"):
+        ckpt.load(str(tmp_path), state)
+
+
+def test_resume_with_changed_record_shape_fails_named(tmp_path):
+    """End-to-end: a run resumed with a different chain count must fail with
+    the named-key record error, not an opaque concat crash."""
+    import pytest
+
+    from ppde_tpu.samplers import base
+
+    def make_step(width):
+        def step(ctx, s, key):
+            s = s + ctx["inc"]
+            return s, {"energy": s[:width]}
+        return step
+
+    def run(width, n, ckpt_dir):
+        return base.run_segmented(
+            step_fn=make_step(width), ctx={"inc": jnp.ones(8)},
+            init_state=jnp.zeros(8), key=jax.random.PRNGKey(0),
+            num_steps=n, log_every=10, oracle_fn=None, quiet=True,
+            checkpoint_dir=ckpt_dir)
+
+    ck = str(tmp_path / "ck")
+    run(8, 20, ck)
+    with pytest.raises(ValueError, match="'energy'.*per-step shape"):
+        run(4, 40, ck)
+
+
 def test_segmented_runner_records_shapes():
     """run_segmented plumbing: records concat across segments, oracle at
     boundaries, steps_per_sec present."""
