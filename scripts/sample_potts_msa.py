@@ -45,6 +45,9 @@ def build_parser():
                    help="real .a2m to compare sampled statistics against "
                         "(Pearson r of single-site frequencies and of "
                         "pairwise covariances)")
+    p.add_argument("--potts_npz", type=str, default=None,
+                   help="sample from this Potts fit instead of the protein "
+                        "dir's artifact (regularization-sweep QC)")
     return p
 
 
@@ -69,8 +72,11 @@ def main(args):
     from ppde_tpu.models import potts
 
     protein_dir = os.path.join(args.protein_weights, args.protein)
-    pp = runtime.load_potts(protein_dir)
     wt = pio.read_fasta(os.path.join(protein_dir, "wt.fasta"))[0]
+    if args.potts_npz:
+        pp = potts.load_npz(args.potts_npz, wt)
+    else:
+        pp = runtime.load_potts(protein_dir)
     wt_window = wt[pp.min_pos : pp.max_pos + 1]
     print(f"[sample_potts] {args.protein}: window L={pp.seq_len}, "
           f"{args.n_seqs} chains x {args.n_sweeps} sweeps, "

@@ -26,7 +26,13 @@ def main(args):
 
     protein_dir = os.path.join(args.protein_weights, args.protein)
     wt = pio.read_fasta(os.path.join(protein_dir, "wt.fasta"))[0]
-    pp = runtime.load_potts(protein_dir)
+    if args.potts_npz:
+        # calibrate against an alternative fit (e.g. the lambda_J
+        # regularization sweep, scripts/run_r4_qc_pt.sh) without touching
+        # the protein dir's canonical artifact
+        pp = potts_mod.load_npz(args.potts_npz, wt)
+    else:
+        pp = runtime.load_potts(protein_dir)
     sup = runtime.load_supervised_ensemble(protein_dir)
 
     rng = np.random.default_rng(args.seed)
@@ -52,4 +58,7 @@ if __name__ == "__main__":
     p.add_argument("--protein", type=str, default="PABP_YEAST_Fields2013")
     p.add_argument("--n_mutants", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--potts_npz", type=str, default="",
+                   help="calibrate against this Potts fit instead of the "
+                        "protein dir's artifact")
     main(p.parse_args())

@@ -78,7 +78,7 @@ def test_directed_evolution_end_to_end(tmp_path):
     expected = ["config.txt", "population.npy", "pred_fitness_scores.npy",
                 "oracle_fitness_scores.npy", "potts_scores.npy",
                 "energy_scores.npy", "energy_history.npy",
-                "fitness_history.npy"]
+                "fitness_history.npy", "summary.json"]
     for f in expected:
         assert (run_dir / f).exists(), f
     cfg = json.loads((run_dir / "config.txt").read_text())
@@ -87,6 +87,14 @@ def test_directed_evolution_end_to_end(tmp_path):
     assert pop.shape == (4, 104, 20)
     np.testing.assert_array_equal(pop.sum(-1), 1.0)
     assert np.load(run_dir / "energy_history.npy").shape == (11, 4)
+    # machine-readable cell summary: the PARITY.md evidence contract
+    s = json.loads((run_dir / "summary.json").read_text())
+    for k in ("diversity_pct", "exploration_mean", "oracle_logfit",
+              "potts_provenance", "steps_per_sec", "reference_reverse"):
+        assert k in s, k
+    assert s["potts_provenance"] == "refit"  # UBE4B has a committed npz
+    assert 0.0 <= s["diversity_pct"] <= 100.0
+    assert s["oracle_logfit"]["p50"] <= s["oracle_logfit"]["p100"]
 
 
 @requires_reference
