@@ -25,6 +25,7 @@ if [ "$PHASE" = qc ] || [ "$PHASE" = all ]; then
     echo "=== QC depth $1 x $2" >&2
     tools/tpu_run.sh scripts/sample_potts_msa.py --protein "$UBE4B" \
       --n_seqs "$1" --n_sweeps "$2" --seed 0 --qc_msa "$MSA" \
+      --out_json results/qc/ube4b_qc_ladder.jsonl \
       2>&1 | tee -a results/qc/ube4b_qc_ladder.log
   done
   # lambda_J sweep: coupling scale + QC at 10x lighter/heavier l2
@@ -34,10 +35,12 @@ if [ "$PHASE" = qc ] || [ "$PHASE" = all ]; then
     tools/tpu_run.sh scripts/fit_potts.py --msa "$MSA" --out "$out" \
       --lambda_J "$lj" 2>&1 | tee -a results/qc/ube4b_reg_sweep.log
     tools/tpu_run.sh scripts/select_lambda.py --protein "$UBE4B" \
-      --potts_npz "$out" 2>&1 | tee -a results/qc/ube4b_reg_sweep.log
+      --potts_npz "$out" --out_json results/qc/ube4b_reg_sweep.jsonl \
+      2>&1 | tee -a results/qc/ube4b_reg_sweep.log
     tools/tpu_run.sh scripts/sample_potts_msa.py --protein "$UBE4B" \
       --potts_npz "$out" --n_seqs 4096 --n_sweeps 600 --seed 0 \
-      --qc_msa "$MSA" 2>&1 | tee -a results/qc/ube4b_reg_sweep.log
+      --qc_msa "$MSA" --out_json results/qc/ube4b_reg_sweep.jsonl \
+      2>&1 | tee -a results/qc/ube4b_reg_sweep.log
   done
 fi
 

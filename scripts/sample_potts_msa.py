@@ -48,6 +48,10 @@ def build_parser():
     p.add_argument("--potts_npz", type=str, default=None,
                    help="sample from this Potts fit instead of the protein "
                         "dir's artifact (regularization-sweep QC)")
+    p.add_argument("--out_json", type=str, default=None,
+                   help="append run stats (config, uniqueness, H quantiles, "
+                        "QC correlations) as one JSON object per line — the "
+                        "committed-evidence form of the printed QC numbers")
     return p
 
 
@@ -93,6 +97,7 @@ def main(args):
           f"{np.quantile(H, [0.1, 0.5, 0.9])} (wt_H "
           f"{float(pp.wt_H):.2f})", flush=True)
 
+    r1 = r2 = None
     if args.qc_msa:
         from ppde_tpu.models import potts_fit
 
@@ -106,6 +111,26 @@ def main(args):
         print(f"[sample_potts] QC vs {args.qc_msa}: "
               f"single-site freq r={r1:+.4f}, pair covariance r={r2:+.4f}",
               flush=True)
+
+    if args.out_json:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.out_json)),
+                    exist_ok=True)
+        rec = {"protein": args.protein, "potts_npz": args.potts_npz,
+               "n_seqs": args.n_seqs, "n_sweeps": args.n_sweeps,
+               "beta": args.beta, "seed": args.seed,
+               "unique_pct": round(uniq, 2),
+               "H_q10_q50_q90": [round(float(q), 3) for q in
+                                 np.quantile(H, [0.1, 0.5, 0.9])],
+               "wt_H": round(float(pp.wt_H), 3),
+               "coupling_l2": round(float(np.sqrt((np.asarray(pp.W) ** 2)
+                                                  .sum())), 3),
+               "qc_msa": args.qc_msa,
+               "single_site_freq_r": r1 and round(r1, 4),
+               "pair_covariance_r": r2 and round(r2, 4)}
+        with open(args.out_json, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     if args.out:
         os.makedirs(os.path.dirname(os.path.abspath(args.out)),

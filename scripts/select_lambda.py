@@ -50,6 +50,18 @@ def main(args):
     lam = float(unsup.std() / max(fit.std(), 1e-9))
     print(f"{args.protein}: std(unsup)={unsup.std():.4f} "
           f"std(fit)={fit.std():.4f} -> lambda ~= {lam:.2f}")
+    if args.out_json:
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.out_json)),
+                    exist_ok=True)
+        with open(args.out_json, "a") as f:
+            f.write(json.dumps(
+                {"protein": args.protein, "potts_npz": args.potts_npz or
+                 None, "n_mutants": args.n_mutants, "seed": args.seed,
+                 "std_unsup": round(float(unsup.std()), 4),
+                 "std_fit": round(float(fit.std()), 4),
+                 "lambda": round(lam, 3)}) + "\n")
 
 
 if __name__ == "__main__":
@@ -61,4 +73,6 @@ if __name__ == "__main__":
     p.add_argument("--potts_npz", type=str, default="",
                    help="calibrate against this Potts fit instead of the "
                         "protein dir's artifact")
+    p.add_argument("--out_json", type=str, default="",
+                   help="append the calibration record as one JSON line")
     main(p.parse_args())
