@@ -71,7 +71,8 @@ def _log(msg):
 
 def bench_jax(steps: int, warmup: int, dtype: str,
               n_chains: int = N_CHAINS, fused_cnn: bool = False,
-              cnn_chunk: int | None = None) -> float:
+              cnn_chunk: int | None = None,
+              transformer: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +90,19 @@ def bench_jax(steps: int, warmup: int, dtype: str,
         # one big XLA program scales superlinearly in the CNN VJP; chunked
         # evaluation restores linear scaling (see energy._fit_and_grad)
         cnn_chunk = 128
+    tr = None
+    if transformer:
+        # BASELINE.json's second canonical config: GFP, transformer expert,
+        # lambda=1 (README.md:65-72). Random-init ESM2-S — no pre-trained
+        # weights ship offline; identical compute shape to the reference's
+        # esm_one_hot path (nets.py:172-240). Chunk 16 = measured optimum
+        # (PERF.md transformer section).
+        from ppde_tpu.models import esm2
+
+        tr = esm2.load_expert("transformer-S", GFP_WT, allow_random=True)
     en = energy_mod.protein_poe(
-        pp, ens, lam=15.0, wt_onehot=wt_oh,
+        pp, ens, lam=1.0 if transformer else 15.0, wt_onehot=wt_oh,
+        transformer=tr, chunk_size=16 if transformer else None,
         compute_dtype=jnp.bfloat16 if dtype == "bf16" else None,
         fused_cnn=fused_cnn, cnn_chunk=cnn_chunk)
     pop = jnp.repeat(wt_oh, n_chains, axis=0)
@@ -127,11 +139,14 @@ def bench_jax(steps: int, warmup: int, dtype: str,
         _ = float(ys[0][-1])
         return state, ys
 
-    state, _ = finish(run(ctx, state, jax.random.PRNGKey(1), warmup))
-    _log("warmup done; timed scan starting")
-    # compile the timed length before timing
-    state, _ = finish(run(ctx, state, jax.random.PRNGKey(3), steps))
-    _log("timed-length compile done; timing")
+    # Warm up by executing the TIMED scan length: a distinct warmup length
+    # would be a second novel program shape, and each novel shape costs
+    # ~3-4 min through the remote-compile tunnel (and is one more chance
+    # for a transient tunnel failure mid-round). ``warmup`` sets how many
+    # extra pre-timing executions run (>=1 always).
+    for i in range(max(1, warmup // max(steps, 1))):
+        state, _ = finish(run(ctx, state, jax.random.PRNGKey(1 + i), steps))
+    _log("warmup done (timed-length program compiled); timing")
     best = float("inf")
     for rep in range(3):  # best-of-3: the tunnel drifts a few % over minutes
         t0 = time.perf_counter()
@@ -218,22 +233,33 @@ def main():
                          "chains where it wins 8%%, off at 128 where the "
                          "extra pallas call costs ~1.6%%; PERF.md)")
     ap.add_argument("--no-fused-cnn", dest="fused_cnn", action="store_false")
+    ap.add_argument("--skip-transformer", action="store_true",
+                    help="skip the transformer-expert config (PPDE PoE "
+                         "potts+ESM2-S, 128 chains — BASELINE.json's second "
+                         "canonical config; tracked so a regression in the "
+                         "ESM2 energy path is visible round-over-round)")
+    ap.add_argument("--steps-transformer", type=int, default=60)
     args = ap.parse_args()
 
     _enable_compile_cache()
     if args.chains is not None:
         fused = args.fused_cnn if args.fused_cnn is not None \
             else args.chains > 256
-        configs = [(args.chains, args.steps, fused, args.cnn_chunk)]
+        configs = [(args.chains, args.steps, fused, args.cnn_chunk, False)]
     else:
-        configs = [(N_CHAINS, args.steps, False, args.cnn_chunk),
-                   (N_CHAINS_PEAK, args.steps_peak, True, args.cnn_chunk)]
+        configs = [(N_CHAINS, args.steps, False, args.cnn_chunk, False),
+                   (N_CHAINS_PEAK, args.steps_peak, True, args.cnn_chunk,
+                    False)]
+        if not args.skip_transformer:
+            configs.append((N_CHAINS, args.steps_transformer, False,
+                            args.cnn_chunk, True))
 
     results = []
-    for n_chains, steps, fused, chunk in configs:
+    for n_chains, steps, fused, chunk, tr in configs:
         sps = bench_jax(steps, args.warmup, args.dtype, n_chains,
-                        fused_cnn=fused, cnn_chunk=chunk)
+                        fused_cnn=fused, cnn_chunk=chunk, transformer=tr)
         results.append({"n_chains": n_chains,
+                        "expert": "potts+transformer-S" if tr else "potts",
                         "sampler_steps_per_sec": round(sps, 2),
                         "chain_steps_per_sec": round(sps * n_chains, 1)})
 

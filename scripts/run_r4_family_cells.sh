@@ -26,7 +26,20 @@ declare -A MSA=(
 )
 declare -A SHORT=([$PABP]=PABP [$UBE4B]=UBE4B [$GFP]=GFP)
 
-# [1] per-protein msa-S density scorers (TPU; UBE4B's comes from the CPU run)
+# [0] UBE4B msa-S scorer to 2000 iters on TPU (the committed ckpt_1000 is
+# the round-3 CPU run; PARITY's density column cites the CE-1.22-class
+# 2000-iter scorer). --ckpt_every 2000 writes ONLY ckpt_2000, preserving
+# the CPU ckpt_1000's provenance.
+if [ ! -f results/esm_family/UBE4B_msat_S_ckpt_2000.npz ]; then
+  echo "=== msa-S scorer: UBE4B (2000 iters, TPU)" >&2
+  tools/tpu_run.sh scripts/finetune_msa.py --msa "${MSA[$UBE4B]}" \
+    --msa_model msa-S --out results/esm_family/UBE4B_msat_S \
+    --n_iters 2000 --block_rows 16 --lr 3e-4 --val_frac 0.05 \
+    --log_every 200 --ckpt_every 2000 \
+    || echo "[r4fam] scorer FAILED: UBE4B" >&2
+fi
+
+# [1] per-protein msa-S density scorers (TPU)
 for prot in $PABP $GFP; do
   s=${SHORT[$prot]}
   if ls results/esm_family/${s}_msat_S_ckpt_*.npz >/dev/null 2>&1; then

@@ -18,7 +18,7 @@ trap 'rm -f "$LOG"' EXIT
 # failures worth retrying. 'claim' alone is too loose (an assertion
 # message containing the word would loop a real crash); require TPU/axon
 # context within the same line.
-CLAIM_RE='axon_ifrt_start_interposer|interposer|(tpu|axon|device).{0,60}claim|claim.{0,60}(tpu|axon|device)|UNAVAILABLE[: ]|DEADLINE_EXCEEDED|failed to connect|Connection refused|Connection reset|Socket closed'
+CLAIM_RE='axon_ifrt_start_interposer|interposer|(tpu|axon|device).{0,60}claim|claim.{0,60}(tpu|axon|device)|UNAVAILABLE[: ]|DEADLINE_EXCEEDED|failed to connect|Connection refused|Connection reset|Socket closed|remote_compile.{0,120}(closed|reset|EOF|timeout)'
 
 for attempt in 1 2 3 4 5; do
   # NB: APPEND to PYTHONPATH — clobbering it drops the sitecustomize dir
