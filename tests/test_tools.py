@@ -90,3 +90,45 @@ def test_plain_word_claim_in_crash_is_not_retried(tmp_path):
     assert p.returncode == 1
     assert "not retrying" in p.stderr
     assert dt < 30
+
+
+def test_remote_compile_drop_is_retried(tmp_path):
+    """A mid-compile tunnel drop (round-4 failure mode: the timed-scan
+    compile died with 'response body closed') must be retried — the client
+    process has already exited, so relaunching is claim-safe."""
+    f = tmp_path / "tunnel.py"
+    f.write_text(
+        "import sys\n"
+        "sys.stderr.write('jax.errors.JaxRuntimeError: INTERNAL: "
+        "http://127.0.0.1:8093/remote_compile: read body: response body "
+        "closed before all bytes were read\\n')\n"
+        "sys.exit(1)\n")
+    p, _ = run(str(f))
+    assert "retrying" in p.stderr
+    assert "giving up after 5" in p.stderr
+
+
+def test_render_parity_tables(tmp_path):
+    """Cell-summary JSON -> markdown row with a sources line (the PARITY
+    evidence chain's render direction)."""
+    import json
+    import subprocess
+
+    d = tmp_path / "sums"
+    d.mkdir()
+    (d / "P_PPDE_s7.json").write_text(json.dumps(
+        {"protein": "PABP", "sampler": "PPDE", "seed": 7,
+         "run_signature": "potts_exact", "diversity_pct": 93.0,
+         "exploration_mean": 7.1, "exploration_std": 2.0,
+         "oracle_logfit": {"p50": 1.1, "p100": 2.2},
+         "steps_per_sec": 800.0}))
+    # non-cell JSONs alongside must be skipped, not crash the render
+    (d / "corr.json").write_text(json.dumps({"spearman": 0.5}))
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "render_parity_tables.py"),
+         "--summaries", str(d), "--mnist"],
+        env=ENV, capture_output=True, text=True, timeout=60)
+    assert p.returncode == 0
+    assert "| PPDE/potts_exact/s7 | 93.0 | 7.10 ± 2.00 | 1.10 (2.20) | — | 800.0 |" in p.stdout
+    assert "P_PPDE_s7.json" in p.stdout
