@@ -71,17 +71,21 @@ if [ "$PHASE" = proteins ] || [ "$PHASE" = all ]; then
       --unsupervised_expert potts --energy_lamda "$lam" \
       --n_iters 1000 --seed 1234567 --run_signature potts
   done
-  # expert ablations (Table 1/2 "Potts only" / "Supervised only"), UBE4B
-  cell "UBE4B_PPDE-pottsonly_s1234567" \
-    UBE4B_MOUSE_Klevit2013-nscor_log2_ratio --sampler PPDE \
-    --ppde_reference_reverse --unsupervised_expert potts \
-    --energy_lamda 0 --n_iters 10000 --seed 1234567 \
-    --run_signature potts_only
-  cell "UBE4B_PPDE-suponly_s1234567" \
-    UBE4B_MOUSE_Klevit2013-nscor_log2_ratio --sampler PPDE \
-    --ppde_reference_reverse --energy_function supervised \
-    --unsupervised_expert potts --energy_lamda 0.5 \
-    --n_iters 10000 --seed 1234567 --run_signature sup_only
+  # expert ablations (Table 1/2 "Potts only" / "Supervised only" rows —
+  # the reference publishes them for ALL THREE proteins)
+  for prot in PABP_YEAST_Fields2013 \
+              UBE4B_MOUSE_Klevit2013-nscor_log2_ratio \
+              GFP_AEQVI_Sarkisyan2016; do
+    s=${SHORT[$prot]}; lam=${LAMBDA_POTTS[$prot]}
+    cell "${s}_PPDE-pottsonly_s1234567" "$prot" --sampler PPDE \
+      --ppde_reference_reverse --unsupervised_expert potts \
+      --energy_lamda 0 --n_iters 10000 --seed 1234567 \
+      --run_signature potts_only
+    cell "${s}_PPDE-suponly_s1234567" "$prot" --sampler PPDE \
+      --ppde_reference_reverse --energy_function supervised \
+      --unsupervised_expert potts --energy_lamda "$lam" \
+      --n_iters 10000 --seed 1234567 --run_signature sup_only
+  done
   # beyond-reference: full-scale PPDE-PT cells (corrected reverse)
   for prot in UBE4B_MOUSE_Klevit2013-nscor_log2_ratio \
               GFP_AEQVI_Sarkisyan2016; do
