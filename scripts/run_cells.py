@@ -1,0 +1,175 @@
+"""Run many directed-evolution sweep cells inside ONE process / TPU claim.
+
+The axon TPU claim is exclusive and its grant/release latency dominates
+short cells when each runs as its own process: measured in round 4, a 10k-
+iter Potts cell samples for ~25 s but back-to-back one-cell processes pay
+up to ~5 min of silent backend-init claim retry each (logs/r4_queue.log;
+the claim is taken at interpreter start and released at exit). Batching N
+cells into one interpreter pays the claim once and reuses the in-process
+jit cache across cells that share program shapes — a seed sweep compiles
+once. The reference has no equivalent (its sweep driver is one process
+per cell, run_protein_samplers.sh); on TPU the batch form is the right
+default for grids.
+
+Spec: a JSON list of {"name": str, "argv": [str, ...]} where argv is
+scripts/directed_evolution.py's argument vector and SHOULD include
+--summary_json (used for idempotent skip/restart). --r4_evidence
+generates the round-4 evidence grid (the same cells as
+scripts/run_r4_evidence.sh proteins — kept in sync by
+tests/test_cli.py::test_r4_evidence_spec). --write_placeholders creates
+empty `{}` summaries so a concurrently-queued per-process sweep skips
+those cells ([ -s ] check) and this runner fills them in properly later.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SUM = "results/proteins/summaries"
+
+PROTEINS = ["PABP_YEAST_Fields2013",
+            "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+            "GFP_AEQVI_Sarkisyan2016"]
+SHORT = {"PABP_YEAST_Fields2013": "PABP",
+         "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio": "UBE4B",
+         "GFP_AEQVI_Sarkisyan2016": "GFP"}
+LAMBDA_POTTS = {"PABP_YEAST_Fields2013": "5",
+                "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio": "0.5",
+                "GFP_AEQVI_Sarkisyan2016": "15"}
+SEEDS = ["1234567", "7", "42", "2024"]
+
+
+def r4_evidence_spec() -> list[dict]:
+    """The round-4 proteins evidence grid (mirrors run_r4_evidence.sh)."""
+    cells = []
+
+    def add(name, prot, *extra):
+        cells.append({"name": name, "argv": [
+            "--protein", prot, "--n_chains", "128",
+            "--nmut_threshold", "10", "--disable_MSA_transformer_scoring",
+            "--summary_json", f"{SUM}/{name}.json", *extra]})
+
+    for prot in PROTEINS:
+        s, lam = SHORT[prot], LAMBDA_POTTS[prot]
+        for seed in SEEDS:
+            add(f"{s}_PPDE-exact_s{seed}", prot, "--sampler", "PPDE",
+                "--unsupervised_expert", "potts", "--energy_lamda", lam,
+                "--n_iters", "10000", "--seed", seed,
+                "--run_signature", "potts_exact")
+        for seed in SEEDS:
+            add(f"{s}_PPDE-refrev_s{seed}", prot, "--sampler", "PPDE",
+                "--ppde_reference_reverse", "--unsupervised_expert",
+                "potts", "--energy_lamda", lam, "--n_iters", "10000",
+                "--seed", seed, "--run_signature", "potts")
+        for sampler in ["simulated_annealing", "Random", "MALA-approx"]:
+            add(f"{s}_{sampler}_s1234567", prot, "--sampler", sampler,
+                "--unsupervised_expert", "potts", "--energy_lamda", lam,
+                "--n_iters", "10000", "--seed", "1234567",
+                "--run_signature", "potts")
+        add(f"{s}_CMAES_s1234567", prot, "--sampler", "CMAES",
+            "--unsupervised_expert", "potts", "--energy_lamda", lam,
+            "--n_iters", "1000", "--seed", "1234567",
+            "--run_signature", "potts")
+        add(f"{s}_PPDE-pottsonly_s1234567", prot, "--sampler", "PPDE",
+            "--ppde_reference_reverse", "--unsupervised_expert", "potts",
+            "--energy_lamda", "0", "--n_iters", "10000",
+            "--seed", "1234567", "--run_signature", "potts_only")
+        add(f"{s}_PPDE-suponly_s1234567", prot, "--sampler", "PPDE",
+            "--ppde_reference_reverse", "--energy_function", "supervised",
+            "--unsupervised_expert", "potts", "--energy_lamda", lam,
+            "--n_iters", "10000", "--seed", "1234567",
+            "--run_signature", "sup_only")
+    for prot in ["UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+                 "GFP_AEQVI_Sarkisyan2016"]:
+        s, lam = SHORT[prot], LAMBDA_POTTS[prot]
+        add(f"{s}_PPDE-PT_s1234567", prot, "--sampler", "PPDE-PT",
+            "--unsupervised_expert", "potts", "--energy_lamda", lam,
+            "--n_iters", "10000", "--seed", "1234567",
+            "--run_signature", "potts_pt")
+    return cells
+
+
+def summary_state(cell) -> str:
+    """'missing' | 'placeholder' | 'done' for the cell's --summary_json."""
+    argv = cell["argv"]
+    try:
+        path = argv[argv.index("--summary_json") + 1]
+    except ValueError:
+        return "missing"
+    if not os.path.exists(path):
+        return "missing"
+    with open(path) as f:
+        content = f.read().strip()
+    return "placeholder" if content in ("", "{}") else "done"
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--spec", type=str, default=None,
+                    help="JSON list of {name, argv} cells")
+    ap.add_argument("--r4_evidence", action="store_true",
+                    help="use the built-in round-4 evidence grid")
+    ap.add_argument("--write_placeholders", action="store_true",
+                    help="create empty '{}' summaries for missing cells "
+                         "(so a concurrent per-process sweep skips them), "
+                         "then exit without running anything")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run cells whose summary is already real")
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter on cell names")
+    args = ap.parse_args()
+
+    if args.r4_evidence:
+        cells = r4_evidence_spec()
+    elif args.spec:
+        with open(args.spec) as f:
+            cells = json.load(f)
+    else:
+        raise SystemExit("need --spec or --r4_evidence")
+    if args.only:
+        cells = [c for c in cells if args.only in c["name"]]
+
+    if args.write_placeholders:
+        os.makedirs(SUM, exist_ok=True)
+        n = 0
+        for c in cells:
+            if summary_state(c) == "missing":
+                argv = c["argv"]
+                path = argv[argv.index("--summary_json") + 1]
+                with open(path, "w") as f:
+                    f.write("{}")
+                n += 1
+        print(f"[run_cells] wrote {n} placeholders")
+        return
+
+    from scripts import directed_evolution as de
+
+    parser = de.build_parser()
+    done = failed = skipped = 0
+    for c in cells:
+        state = summary_state(c)
+        if state == "done" and not args.force:
+            skipped += 1
+            continue
+        print(f"=== [run_cells {time.strftime('%H:%M:%S')}] {c['name']}",
+              flush=True)
+        try:
+            de.main(parser.parse_args(c["argv"]))
+            done += 1
+        except Exception:
+            traceback.print_exc()
+            print(f"[run_cells] FAILED: {c['name']}", flush=True)
+            failed += 1
+    print(f"[run_cells] done={done} skipped={skipped} failed={failed}")
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -180,3 +180,25 @@ def test_resolve_esm_chunk():
     assert resolve_esm_chunk(-1, True, 128) is None  # explicit monolithic
     assert resolve_esm_chunk(8, True, 128) == 8
     assert resolve_esm_chunk(8, False, 4) == 8
+
+
+def test_r4_evidence_spec_parses():
+    """Every cell in the batched round-4 evidence grid must parse under the
+    CLI parser, carry a summary_json matching its name, and be unique —
+    the batch runner (scripts/run_cells.py) and the per-process driver
+    (scripts/run_r4_evidence.sh) must describe the same grid shape:
+    3 proteins x (4 exact + 4 refrev seeds + SA/Random/MALA + CMAES +
+    2 ablations) + 2 PT cells = 44."""
+    from scripts import directed_evolution as de
+    from scripts import run_cells
+
+    cells = run_cells.r4_evidence_spec()
+    assert len(cells) == 44
+    names = [c["name"] for c in cells]
+    assert len(set(names)) == 44
+    parser = de.build_parser()
+    for c in cells:
+        ns = parser.parse_args(c["argv"])
+        assert ns.summary_json.endswith(c["name"] + ".json")
+        assert ns.disable_MSA_transformer_scoring
+        assert ns.n_chains == 128
