@@ -19,6 +19,14 @@ scripts/run_r4_evidence.sh proteins — kept in sync by
 tests/test_cli.py::test_r4_evidence_spec). --write_placeholders creates
 empty `{}` summaries so a concurrently-queued per-process sweep skips
 those cells ([ -s ] check) and this runner fills them in properly later.
+
+A cell may set "module": "mnist" to route its argv through
+scripts/mnist_sum.py instead (the MNIST CLI has no --summary_json;
+idempotence uses an explicit "done_file" — the run's
+`<prefix>_final_population.npy`). --r4_mnist_extras generates the
+round-4 MNIST evidence grid: the PoE-vs-supervised ablation trio and the
+wild-type-pair replication matrix (PARITY.md's previously prose-only
+MNIST evidence).
 """
 from __future__ import annotations
 
@@ -95,8 +103,62 @@ def r4_evidence_spec() -> list[dict]:
     return cells
 
 
+def r4_mnist_extras_spec() -> list[dict]:
+    """Round-4 MNIST evidence extras (PARITY.md MNIST sections).
+
+    Two blocks:
+      * the PoE-vs-supervised ablation trio (3000 iters — EBM / DAE
+        experts vs supervised-only; reference mnist scripts default
+        product_of_experts, PARITY 'PoE-vs-supervised ablation'),
+      * the wild-type-pair replication matrix (PPDE/SA/MALA on committed
+        pairs 0/2/3/4 at the canonical 20k-iter config, plus CMA-ES on
+        pair 0) — round 3 ran these but committed no machine-readable
+        evidence.
+    """
+    cells = []
+
+    def add(name, *extra):
+        cells.append({"name": name, "module": "mnist",
+                      "done_file": f"results/mnist/{name}"
+                                   "_final_population.npy",
+                      "argv": ["--n_chains", "128", "--log_every", "100",
+                               "--seed", "1234567", *extra]})
+
+    for expert, suffix in (("ebm", "poe_ebm_r4"), ("dae", "poe_dae_r4")):
+        add(f"PPDE-PAS-10_product_of_experts_{suffix}",
+            "--sampler", "PPDE", "--ppde_pas_length", "10",
+            "--energy_lamda", "10", "--n_iters", "3000", "--wild_type",
+            "1", "--unsupervised_expert", expert, "--suffix", suffix)
+    add("PPDE-PAS-10_supervised_sup_only_r4",
+        "--sampler", "PPDE", "--ppde_pas_length", "10",
+        "--energy_lamda", "10", "--n_iters", "3000", "--wild_type", "1",
+        "--energy_function", "supervised", "--suffix", "sup_only_r4")
+
+    for wt in ("0", "2", "3", "4"):
+        sfx = f"r4full_wt{wt}"
+        add(f"PPDE-PAS-10_product_of_experts_{sfx}",
+            "--sampler", "PPDE", "--ppde_pas_length", "10",
+            "--energy_lamda", "10", "--n_iters", "20000",
+            "--wild_type", wt, "--suffix", sfx)
+        add(f"SA_product_of_experts_{sfx}",
+            "--sampler", "simulated_annealing", "--energy_lamda", "10",
+            "--n_iters", "20000", "--wild_type", wt, "--suffix", sfx)
+        add(f"MALA-approx_product_of_experts_{sfx}",
+            "--sampler", "MALA-approx", "--energy_lamda", "10",
+            "--diffusion_step_size", "0.01", "--n_iters", "20000",
+            "--wild_type", wt, "--suffix", sfx)
+    add("CMAES_product_of_experts_r4full_wt0",
+        "--sampler", "CMAES", "--energy_lamda", "10", "--n_iters",
+        "20000", "--wild_type", "0", "--suffix", "r4full_wt0")
+    return cells
+
+
 def summary_state(cell) -> str:
     """'missing' | 'placeholder' | 'done' for the cell's --summary_json."""
+    if "done_file" in cell:
+        path = cell["done_file"]
+        return ("done" if os.path.exists(path)
+                and os.path.getsize(path) > 0 else "missing")
     argv = cell["argv"]
     try:
         path = argv[argv.index("--summary_json") + 1]
@@ -115,6 +177,9 @@ def main():
                     help="JSON list of {name, argv} cells")
     ap.add_argument("--r4_evidence", action="store_true",
                     help="use the built-in round-4 evidence grid")
+    ap.add_argument("--r4_mnist_extras", action="store_true",
+                    help="use the built-in round-4 MNIST extras grid "
+                         "(ablation trio + wild-type replication)")
     ap.add_argument("--write_placeholders", action="store_true",
                     help="create empty '{}' summaries for missing cells "
                          "(so a concurrent per-process sweep skips them), "
@@ -127,6 +192,8 @@ def main():
 
     if args.r4_evidence:
         cells = r4_evidence_spec()
+    elif args.r4_mnist_extras:
+        cells = r4_mnist_extras_spec()
     elif args.spec:
         with open(args.spec) as f:
             cells = json.load(f)
@@ -149,18 +216,21 @@ def main():
         return
 
     from scripts import directed_evolution as de
+    from scripts import mnist_sum as ms
 
-    parser = de.build_parser()
+    parsers = {"de": de.build_parser(), "mnist": ms.build_parser()}
+    mains = {"de": de.main, "mnist": ms.main}
     done = failed = skipped = 0
     for c in cells:
         state = summary_state(c)
         if state == "done" and not args.force:
             skipped += 1
             continue
+        mod = c.get("module", "de")
         print(f"=== [run_cells {time.strftime('%H:%M:%S')}] {c['name']}",
               flush=True)
         try:
-            de.main(parser.parse_args(c["argv"]))
+            mains[mod](parsers[mod].parse_args(c["argv"]))
             done += 1
         except Exception:
             traceback.print_exc()

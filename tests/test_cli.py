@@ -202,3 +202,30 @@ def test_r4_evidence_spec_parses():
         assert ns.summary_json.endswith(c["name"] + ".json")
         assert ns.disable_MSA_transformer_scoring
         assert ns.n_chains == 128
+
+
+def test_r4_mnist_extras_spec_parses():
+    """Every cell in the round-4 MNIST extras grid must parse under the
+    MNIST CLI parser, route through module 'mnist', and name a done_file
+    consistent with scripts/mnist_sum.py's artifact naming
+    ({abbrv}_{energy_function}_{suffix}_final_population.npy): the
+    ablation trio (EBM/DAE PoE + supervised-only) + 4 wild-type pairs x
+    PPDE/SA/MALA + CMA-ES on pair 0 = 16."""
+    from scripts import mnist_sum as ms
+    from scripts import run_cells
+
+    cells = run_cells.r4_mnist_extras_spec()
+    assert len(cells) == 16
+    names = [c["name"] for c in cells]
+    assert len(set(names)) == 16
+    parser = ms.build_parser()
+    abbrv = {"PPDE": "PPDE-PAS-10", "simulated_annealing": "SA",
+             "MALA-approx": "MALA-approx", "CMAES": "CMAES"}
+    for c in cells:
+        assert c["module"] == "mnist"
+        ns = parser.parse_args(c["argv"])
+        expect = f"{abbrv[ns.sampler]}_{ns.energy_function}_{ns.suffix}"
+        assert c["name"] == expect, (c["name"], expect)
+        assert c["done_file"] == (
+            f"results/mnist/{expect}_final_population.npy")
+        assert ns.n_chains == 128
