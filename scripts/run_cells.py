@@ -171,7 +171,7 @@ def summary_state(cell) -> str:
     return "placeholder" if content in ("", "{}") else "done"
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--spec", type=str, default=None,
                     help="JSON list of {name, argv} cells")
@@ -188,7 +188,7 @@ def main():
                     help="re-run cells whose summary is already real")
     ap.add_argument("--only", type=str, default=None,
                     help="substring filter on cell names")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.r4_evidence:
         cells = r4_evidence_spec()

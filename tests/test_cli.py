@@ -229,3 +229,48 @@ def test_r4_mnist_extras_spec_parses():
         assert c["done_file"] == (
             f"results/mnist/{expect}_final_population.npy")
         assert ns.n_chains == 128
+
+
+@requires_reference
+def test_run_cells_executes_mixed_grid_and_skips_done(tmp_path, capsys):
+    """run_cells end-to-end: a mixed de+mnist spec runs both cells under one
+    process, then a re-run skips them (summary_json for de, done_file for
+    mnist)."""
+    _ensure_weights_overlay()
+    import json as _json
+
+    from scripts import run_cells
+
+    de_summary = tmp_path / "de_summary.json"
+    mnist_done = tmp_path / ("PPDE-PAS-2_supervised_t_final_population"
+                             ".npy")
+    spec = [
+        {"name": "de_tiny", "argv": [
+            "--protein", "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
+            "--protein_weights", os.path.join(REPO, "weights"),
+            "--results_path", str(tmp_path),
+            "--n_iters", "6", "--n_chains", "4", "--log_every", "3",
+            "--nmut_threshold", "10", "--energy_lamda", "0.5",
+            "--disable_MSA_transformer_scoring", "--run_signature", "t",
+            "--summary_json", str(de_summary)]},
+        {"name": "PPDE-PAS-2_supervised_t", "module": "mnist",
+         "done_file": str(mnist_done), "argv": [
+            "--mnist_weights", os.path.join(REPO, "weights",
+                                            "mnist_models"),
+            "--data_dir", os.path.join(REPO, "data", "mnist"),
+            "--results_path", str(tmp_path),
+            "--sampler", "PPDE", "--energy_function", "supervised",
+            "--n_iters", "4", "--n_chains", "4", "--log_every", "2",
+            "--ppde_pas_length", "2", "--wild_type", "0",
+            "--suffix", "t", "--metrics", "viz"]},
+    ]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+
+    run_cells.main(["--spec", str(spec_path)])
+    assert _json.loads(de_summary.read_text())["diversity_pct"] >= 0
+    assert mnist_done.exists()
+    assert "done=2 skipped=0 failed=0" in capsys.readouterr().out
+
+    run_cells.main(["--spec", str(spec_path)])  # idempotent re-run
+    assert "done=0 skipped=2 failed=0" in capsys.readouterr().out
