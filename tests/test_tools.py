@@ -132,3 +132,37 @@ def test_render_parity_tables(tmp_path):
     assert p.returncode == 0
     assert "| PPDE/potts_exact/s7 | 93.0 | 7.10 ± 2.00 | 1.10 (2.20) | — | 800.0 |" in p.stdout
     assert "P_PPDE_s7.json" in p.stdout
+
+
+def test_render_parity_seed_spread(tmp_path):
+    """--seed_spread aggregates cells differing only in seed into
+    mean ± half-range rows; singleton groups are omitted."""
+    import json
+    import subprocess
+
+    d = tmp_path / "sums"
+    d.mkdir()
+    for seed, div, p50, p100 in ((7, 90.0, 1.0, 3.0), (42, 94.0, 1.4, 5.0)):
+        (d / f"P_PPDE_s{seed}.json").write_text(json.dumps(
+            {"protein": "PABP", "sampler": "PPDE", "seed": seed,
+             "run_signature": "fam", "diversity_pct": div,
+             "exploration_mean": 5.0, "exploration_std": 1.0,
+             "oracle_logfit": {"p50": p50, "p100": p100},
+             "steps_per_sec": 800.0}))
+    # a singleton group (different signature) must not produce a row
+    (d / "P_SA_s7.json").write_text(json.dumps(
+        {"protein": "PABP", "sampler": "SA", "seed": 7,
+         "run_signature": "solo", "diversity_pct": 50.0,
+         "exploration_mean": 2.0, "exploration_std": 1.0,
+         "oracle_logfit": {"p50": 0.1, "p100": 0.2},
+         "steps_per_sec": 100.0}))
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "render_parity_tables.py"),
+         "--summaries", str(d), "--mnist", "--seed_spread"],
+        env=ENV, capture_output=True, text=True, timeout=60)
+    assert p.returncode == 0
+    assert ("| PPDE/fam (n=2) | 92.00 ± 2.00 | 5.00 ± 0.00 | 1.20 ± 0.20 |"
+            " 4.00 ± 1.00 |") in p.stdout
+    assert "SA/solo" not in p.stdout
+    assert "P_PPDE_s7.json" in p.stdout

@@ -47,6 +47,48 @@ HEADER = ("| cell | diversity % | exploration | oracle logfit p50 (p100) |"
           " evo-density p50 (p100) | steps/s |")
 RULE = "|---|---|---|---|---|---|"
 
+SPREAD_HEADER = ("| cell (n seeds) | diversity % | exploration mean |"
+                 " oracle logfit p50 | oracle logfit p100 |")
+SPREAD_RULE = "|---|---|---|---|---|"
+
+
+def _mean_spread(vals: list[float]) -> str:
+    """mean ± half-range across seeds (the spread a reader checks a single
+    seed against; sample std is noisy at n=4 and overstates agreement when
+    one seed is an outlier)."""
+    m = sum(vals) / len(vals)
+    half = (max(vals) - min(vals)) / 2
+    return f"{m:.2f} ± {half:.2f}"
+
+
+def seed_spread_tables(by_protein: dict) -> None:
+    """Aggregate cells that differ ONLY in seed into mean ± half-range rows.
+
+    Mirrors the reference's seed-spread presentation (its Tables 1-2 are
+    means over seeded runs of scripts/run_ppde_protein_exps.sh); a PARITY
+    spread row is auditable back to each member cell via the sources list.
+    """
+    for prot in sorted(by_protein):
+        groups: dict[tuple, list[dict]] = {}
+        for s in by_protein[prot]:
+            groups.setdefault((s["sampler"], s.get("run_signature", "")),
+                              []).append(s)
+        rows = {k: v for k, v in groups.items() if len(v) > 1}
+        if not rows:
+            continue
+        print(f"\n### {prot} — seed spread\n\n{SPREAD_HEADER}\n{SPREAD_RULE}")
+        for (sampler, sig), cells in sorted(rows.items()):
+            o = [c["oracle_logfit"] for c in cells]
+            print(f"| {sampler}/{sig} (n={len(cells)}) | "
+                  + _mean_spread([c["diversity_pct"] for c in cells]) + " | "
+                  + _mean_spread([c["exploration_mean"] for c in cells])
+                  + " | " + _mean_spread([x["p50"] for x in o]) + " | "
+                  + _mean_spread([x["p100"] for x in o]) + " |")
+        print("\nsources:")
+        for (sampler, sig), cells in sorted(rows.items()):
+            for c in sorted(cells, key=lambda s: str(s["seed"])):
+                print(f"  {sampler}/{sig}/s{c['seed']}: {c['_path']}")
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
@@ -55,6 +97,9 @@ def main():
     ap.add_argument("--mnist", nargs="*", default=[
         "results/mnist/r4full_summary.json",
         "results/mnist/r4refcfg_summary.json"])
+    ap.add_argument("--seed_spread", action="store_true",
+                    help="emit ONLY mean ± half-range rows aggregated over "
+                         "cells that differ only in seed")
     args = ap.parse_args()
 
     by_protein: dict[str, list[dict]] = {}
@@ -66,6 +111,10 @@ def main():
                 continue  # corr/eval JSONs live alongside the cell summaries
             s["_path"] = p
             by_protein.setdefault(s["protein"], []).append(s)
+
+    if args.seed_spread:
+        seed_spread_tables(by_protein)
+        return
 
     for prot in sorted(by_protein):
         print(f"\n### {prot}\n\n{HEADER}\n{RULE}")
