@@ -106,14 +106,17 @@ def load(ckpt_dir: str, state_like):
     if os.path.exists(rp):
         try:
             rz = np.load(rp)
+            # 0-d arrays are persisted scalars (save's round-trip
+            # contract). np.load of an .npz is LAZY — a corrupt member
+            # only surfaces at rz[k], so extraction must sit inside the
+            # same guard as the header open.
+            records = {k: (rz[k].item() if rz[k].ndim == 0 else rz[k])
+                       for k in rz.files}
         except Exception as e:
             raise ValueError(
                 f"checkpoint records file {rp} is unreadable "
                 f"({type(e).__name__}: {e}) — delete it (state.npz alone "
                 "resumes without histories) or restore it") from e
-        # 0-d arrays are persisted scalars (save's round-trip contract)
-        records = {k: (rz[k].item() if rz[k].ndim == 0 else rz[k])
-                   for k in rz.files}
     return state, key, steps_done, records
 
 

@@ -58,10 +58,30 @@ def update_summaries(run_dir, scores, args):
     summary["msa_transformer_weights"] = args.msa_transformer_weights
     summary["density_msa_path"] = args.msa_path
     summary["density_msa_size"] = args.msa_size
+    added = ("evolutionary_density", "msa_transformer_model",
+             "msa_transformer_weights", "density_msa_path",
+             "density_msa_size")
     targets = [sp]
     if summary.get("summary_json"):
         targets.append(summary["summary_json"])
     for t in targets:
+        if t != sp and os.path.exists(t):
+            # the stable copy may have been superseded by a NEWER run of
+            # the same cell; never silently revert tracked evidence to
+            # this (older) run dir's numbers
+            try:
+                with open(t) as f:
+                    stable = json.load(f)
+            except ValueError:
+                stable = None
+            if stable:  # {} placeholders are fair game
+                strip = lambda d: {k: v for k, v in d.items()  # noqa: E731
+                                   if k not in added}
+                if strip(stable) != strip(summary):
+                    print(f"  SKIPPED stale stable copy {t}: its contents "
+                          f"no longer match {run_dir} (a newer run owns "
+                          "it) — re-run eval against the owning run dir")
+                    continue
         with open(t, "w") as f:
             json.dump(summary, f, indent=2)
         print(f"  updated {t}")

@@ -47,9 +47,11 @@ PROTEINS = ["PABP_YEAST_Fields2013",
 SHORT = {"PABP_YEAST_Fields2013": "PABP",
          "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio": "UBE4B",
          "GFP_AEQVI_Sarkisyan2016": "GFP"}
-LAMBDA_POTTS = {"PABP_YEAST_Fields2013": "5",
-                "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio": "0.5",
-                "GFP_AEQVI_Sarkisyan2016": "15"}
+# single source of truth for the calibrated lambdas: sweep_dcn.LAMBDA
+# (recalibrating a protein there updates this grid too)
+from scripts.sweep_dcn import LAMBDA as _LAMBDA  # noqa: E402
+
+LAMBDA_POTTS = {p: format(_LAMBDA[(p, "potts")], "g") for p in PROTEINS}
 SEEDS = ["1234567", "7", "42", "2024"]
 
 
@@ -203,16 +205,23 @@ def main(argv=None):
         cells = [c for c in cells if args.only in c["name"]]
 
     if args.write_placeholders:
-        os.makedirs(SUM, exist_ok=True)
-        n = 0
+        n = skipped = 0
         for c in cells:
+            argv = c["argv"]
+            # done_file/mnist cells have no --summary_json to placeholder
+            if "done_file" in c or "--summary_json" not in argv:
+                skipped += 1
+                continue
             if summary_state(c) == "missing":
-                argv = c["argv"]
                 path = argv[argv.index("--summary_json") + 1]
+                os.makedirs(os.path.dirname(os.path.abspath(path)),
+                            exist_ok=True)
                 with open(path, "w") as f:
                     f.write("{}")
                 n += 1
-        print(f"[run_cells] wrote {n} placeholders")
+        print(f"[run_cells] wrote {n} placeholders"
+              + (f" ({skipped} cells have no summary path)" if skipped
+                 else ""))
         return
 
     from scripts import directed_evolution as de
@@ -232,6 +241,16 @@ def main(argv=None):
         try:
             mains[mod](parsers[mod].parse_args(c["argv"]))
             done += 1
+        except SystemExit as e:
+            # argparse rejects a malformed argv with sys.exit(2); a bad
+            # cell must not abort the whole exclusive-TPU queue
+            if e.code in (0, None):
+                done += 1
+            else:
+                traceback.print_exc()
+                print(f"[run_cells] FAILED (exit {e.code}): {c['name']}",
+                      flush=True)
+                failed += 1
         except Exception:
             traceback.print_exc()
             print(f"[run_cells] FAILED: {c['name']}", flush=True)

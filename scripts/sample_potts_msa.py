@@ -68,6 +68,13 @@ def pair_covariances(onehot):
     return blocks.ravel()
 
 
+def _round_or_none(v, digits: int = 4):
+    """round() that maps None/nan/inf to None so json.dumps stays valid."""
+    import math
+
+    return round(v, digits) if v is not None and math.isfinite(v) else None
+
+
 def main(args):
     import jax
     import numpy as np
@@ -127,8 +134,11 @@ def main(args):
                "coupling_l2": round(float(np.sqrt((np.asarray(pp.W) ** 2)
                                                   .sum())), 3),
                "qc_msa": args.qc_msa,
-               "single_site_freq_r": r1 and round(r1, 4),
-               "pair_covariance_r": r2 and round(r2, 4)}
+               # None (valid JSON null) when QC was skipped OR a
+               # correlation is undefined (fully-conserved population
+               # makes corrcoef return nan, and NaN is not legal JSON)
+               "single_site_freq_r": _round_or_none(r1),
+               "pair_covariance_r": _round_or_none(r2)}
         with open(args.out_json, "a") as f:
             f.write(json.dumps(rec) + "\n")
 

@@ -55,9 +55,14 @@ def discover_family(root, proteins, model="transformer-S"):
     import glob
 
     def latest(pattern):
-        hits = sorted(glob.glob(pattern),
-                      key=lambda p: int(p.rsplit("_", 1)[-1][:-4]))
-        return hits[-1] if hits else None
+        # step suffix must be a bare integer; tolerate stray files like
+        # *_ckpt_final.npz or *_ckpt_4000_best.npz the glob also matches
+        hits = []
+        for p in glob.glob(pattern):
+            tail = p.rsplit("_", 1)[-1][:-4]
+            if tail.isdigit():
+                hits.append((int(tail), p))
+        return max(hits)[1] if hits else None
 
     fam = {}
     for prot in sorted(proteins):
@@ -138,8 +143,12 @@ def build_grid(seeds, n_iters, cmaes_iters, esm_weights=None,
                      ["--msa_transformer_model", "msa-S",
                       "--msa_transformer_weights", art["scorer"],
                       "--msa_path", art["msa"]])
+            # run_signature uses '_' (not '+') so the evidence identity
+            # matches run_r4_family_cells.sh and the committed
+            # results/esm_family/*_family_*.json cells (render_parity_tables
+            # groups seed spreads by run_signature)
             for expert, tag in ((f"potts+{family_model}",
-                                 f"potts+{family_model}_family"),
+                                 f"potts_{family_model}_family"),
                                 (family_model, f"{family_model}_family")):
                 add(f"{prot}/family/{expert}/s{seed}",
                     "--protein", prot, "--sampler", "PPDE",

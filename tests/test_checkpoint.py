@@ -142,6 +142,27 @@ def test_load_rejects_corrupt_records_file(tmp_path):
         ckpt.load(str(tmp_path), state)
 
 
+def test_load_rejects_corrupt_records_member(tmp_path):
+    """np.load of an .npz is lazy — a zip with an intact directory but a
+    garbled member only fails at extraction, which must still surface as
+    the friendly 'unreadable, delete it' ValueError, not a raw zlib/npy
+    parse error."""
+    import zipfile
+
+    import pytest
+
+    from ppde_tpu import checkpoint as ckpt
+
+    state = {"a": jnp.arange(3.0)}
+    ckpt.save(str(tmp_path), state, jax.random.PRNGKey(0), 7,
+              {"energy": np.ones((4, 2))})
+    # valid zip, invalid npy payload: header open succeeds, rz[k] raises
+    with zipfile.ZipFile(tmp_path / "records.npz", "w") as z:
+        z.writestr("energy.npy", b"garbage, not an npy stream")
+    with pytest.raises(ValueError, match="records.*unreadable"):
+        ckpt.load(str(tmp_path), state)
+
+
 def test_resume_with_changed_record_shape_fails_named(tmp_path):
     """End-to-end: a run resumed with a different chain count must fail with
     the named-key record error, not an opaque concat crash."""

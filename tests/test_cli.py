@@ -274,3 +274,97 @@ def test_run_cells_executes_mixed_grid_and_skips_done(tmp_path, capsys):
 
     run_cells.main(["--spec", str(spec_path)])  # idempotent re-run
     assert "done=0 skipped=2 failed=0" in capsys.readouterr().out
+
+def test_run_cells_write_placeholders_skips_summaryless_cells(tmp_path,
+                                                              capsys):
+    """--write_placeholders must skip done_file/mnist cells (no
+    --summary_json to placeholder) instead of crashing, and must create
+    missing parent directories for spec summary paths."""
+    import json as _json
+
+    from scripts import run_cells
+
+    deep = tmp_path / "not" / "yet" / "made" / "cell.json"
+    spec = [
+        {"name": "mnist_cell", "module": "mnist",
+         "done_file": str(tmp_path / "nope.npy"), "argv": ["--n_iters", "4"]},
+        {"name": "no_summary_de", "argv": ["--n_iters", "4"]},
+        {"name": "deep_de", "argv": ["--summary_json", str(deep)]},
+    ]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    run_cells.main(["--spec", str(spec_path), "--write_placeholders"])
+    out = capsys.readouterr().out
+    assert "wrote 1 placeholders (2 cells have no summary path)" in out
+    assert deep.read_text() == "{}"
+    # the builtin mnist grid (all done_file cells) must not crash either
+    run_cells.main(["--r4_mnist_extras", "--write_placeholders"])
+    assert "wrote 0 placeholders" in capsys.readouterr().out
+
+
+def test_run_cells_contains_systemexit_from_bad_argv(tmp_path, capsys):
+    """A malformed cell argv (argparse sys.exit(2)) must fail THAT cell and
+    keep the batch queue running, not abort the whole process."""
+    import json as _json
+
+    import pytest
+
+    from scripts import run_cells
+
+    good = tmp_path / "good.json"
+    spec = [
+        {"name": "bad_flag", "argv": [
+            "--no_such_flag", "--summary_json", str(tmp_path / "bad.json")]},
+        # a second malformed cell proves the queue continued past the first
+        {"name": "bad_flag2", "argv": [
+            "--no_such_flag2", "--summary_json", str(good)]},
+    ]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    with pytest.raises(SystemExit):  # exits 1 AFTER the full queue ran
+        run_cells.main(["--spec", str(spec_path)])
+    out = capsys.readouterr().out
+    assert "FAILED (exit 2): bad_flag" in out
+    assert "FAILED (exit 2): bad_flag2" in out
+    assert "done=0 skipped=0 failed=2" in out
+
+def test_eval_proteins_update_refuses_stale_stable_copy(tmp_path, capsys):
+    """--update_summary must never overwrite a tracked stable summary whose
+    contents no longer match the run dir being evaluated (i.e. a newer run
+    of the same cell owns the stable path); {} placeholders and matching
+    copies are updated."""
+    import json as _json
+
+    import numpy as np
+
+    from scripts import eval_proteins
+
+    stable = tmp_path / "stable.json"
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    base = {"protein": "P", "sampler": "PPDE", "seed": 7,
+            "diversity_pct": 50.0, "summary_json": str(stable)}
+    (run_dir / "summary.json").write_text(_json.dumps(base))
+
+    class _Args:
+        msa_transformer_model = "msa-S"
+        msa_transformer_weights = None
+        msa_path = "x.a2m"
+        msa_size = 4
+
+    # newer run owns the stable path: different numbers there
+    stable.write_text(_json.dumps(dict(base, diversity_pct=99.0)))
+    eval_proteins.update_summaries(str(run_dir), np.ones(4), _Args)
+    assert "SKIPPED stale stable copy" in capsys.readouterr().out
+    assert _json.loads(stable.read_text())["diversity_pct"] == 99.0
+    assert "evolutionary_density" in _json.loads(
+        (run_dir / "summary.json").read_text())  # run-local still updated
+
+    # a matching copy (same cell, possibly already density-scored) updates
+    stable.write_text(_json.dumps(dict(base, evolutionary_density={})))
+    eval_proteins.update_summaries(str(run_dir), np.ones(4), _Args)
+    assert "evolutionary_density" in _json.loads(stable.read_text())
+    # and a {} placeholder is fair game
+    stable.write_text("{}")
+    eval_proteins.update_summaries(str(run_dir), np.ones(4), _Args)
+    assert _json.loads(stable.read_text())["diversity_pct"] == 50.0

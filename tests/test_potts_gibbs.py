@@ -117,3 +117,27 @@ def test_sample_potts_msa_cli(tmp_path, capsys):
 
     oh = potts_fit.msa_to_onehot(rows[1:])
     assert oh.shape == (128, len(rows[0][1]), 20)
+
+def test_round_or_none_keeps_jsonl_valid():
+    """NaN correlations (fully-conserved populations) must serialize as
+    null, never the invalid-JSON token NaN; 0.0 must round-trip as 0.0
+    (the old `r and round(r)` skipped rounding AND nulling on falsy/NaN)."""
+    import importlib
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    spm = importlib.import_module("sample_potts_msa")
+
+    assert spm._round_or_none(None) is None
+    assert spm._round_or_none(float("nan")) is None
+    assert spm._round_or_none(float("inf")) is None
+    assert spm._round_or_none(0.0) == 0.0
+    assert spm._round_or_none(0.123456) == 0.1235
+    # the rec line a QC-less smoke writes must be strict JSON
+    line = json.dumps({"single_site_freq_r": spm._round_or_none(
+        float("nan"))})
+    assert json.loads(line) == {"single_site_freq_r": None}

@@ -105,3 +105,76 @@ def test_family_cells_discovered_and_gridded(tmp_path):
     shards = [sweep_dcn.partition(cells, h, 3) for h in range(3)]
     assert sorted(c["name"] for s in shards for c in s) == sorted(
         c["name"] for c in cells)
+
+def test_family_run_signature_matches_committed_evidence(tmp_path):
+    """The family cells' run_signature must use '_' (never '+') so the
+    evidence identity matches run_r4_family_cells.sh and the committed
+    results/esm_family/*_family_*.json cells — render_parity_tables
+    groups seed spreads by run_signature, so a '+' variant would split
+    one cell into two rows."""
+    ube4b = "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio"
+    root = _fake_family_root(tmp_path, [ube4b])
+    fam = sweep_dcn.discover_family(root, sweep_dcn.PROTEINS)
+    cells = sweep_dcn.build_grid([1], 100, 10, family=fam)
+    sigs = {c["argv"][c["argv"].index("--run_signature") + 1]
+            for c in cells if "/family/" in c["name"]}
+    assert sigs == {"potts_transformer-S_family", "transformer-S_family"}
+    assert not any("+" in s for s in sigs)
+
+
+def test_discover_family_tolerates_noninteger_ckpt_suffixes(tmp_path):
+    """Stray files the *_ckpt_*.npz glob matches but whose step suffix is
+    not a bare integer (ckpt_final.npz, ckpt_4000_best.npz) must be
+    ignored, not crash the driver at startup."""
+    ube4b = "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio"
+    root = _fake_family_root(tmp_path, [ube4b])
+    import os
+    for stray in (f"{ube4b}_transformer-S_ckpt_final.npz",
+                  f"{ube4b}_transformer-S_ckpt_4000_best.npz",
+                  f"{ube4b}_msat_S_ckpt_best.npz"):
+        with open(os.path.join(root, stray), "wb") as f:
+            f.write(b"x")
+    fam = sweep_dcn.discover_family(root, sweep_dcn.PROTEINS)
+    assert fam[ube4b]["ckpt"].endswith("_ckpt_4000.npz")
+
+
+def test_lambda_table_is_single_sourced():
+    """run_cells' evidence grid and the shell drivers must carry the same
+    calibrated lambdas as sweep_dcn.LAMBDA (the single source of truth);
+    recalibrating a protein in one copy silently forked the grids before
+    round 4's review."""
+    import os
+    import re
+
+    from scripts import run_cells
+
+    for prot in run_cells.PROTEINS:
+        assert float(run_cells.LAMBDA_POTTS[prot]) == sweep_dcn.LAMBDA[
+            (prot, "potts")]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # run_r4_evidence.sh: declare -A LAMBDA_POTTS=( [<prot>]=<lam> ... )
+    sh = open(os.path.join(repo, "scripts", "run_r4_evidence.sh")).read()
+    found = {p: float(l) for p, l in
+             re.findall(r"\[([\w.-]+)\]=([0-9.]+)", sh)
+             if (p, "potts") in sweep_dcn.LAMBDA}
+    assert len(found) == 3, "run_r4_evidence.sh no longer states lambdas"
+    for prot, lam in found.items():
+        assert lam == sweep_dcn.LAMBDA[(prot, "potts")], (
+            f"run_r4_evidence.sh lambda for {prot} ({lam}) disagrees with "
+            f"sweep_dcn.LAMBDA ({sweep_dcn.LAMBDA[(prot, 'potts')]})")
+
+    # run_r4_family_cells.sh: declare -A LAMBDA=([$PABP]=5 [$UBE4B]=3 ...)
+    # with $SHORT-name vars defined at the top — published transformer λ
+    fam = open(os.path.join(repo, "scripts",
+                            "run_r4_family_cells.sh")).read()
+    short_to_prot = dict(re.findall(r"^(\w+)=(\w[\w.-]+)$", fam, re.M))
+    tl = {short_to_prot[s]: float(l) for s, l in
+          re.findall(r"\[\$(\w+)\]=([0-9.]+)", fam) if s in short_to_prot}
+    assert len(tl) == 3, "run_r4_family_cells.sh no longer states lambdas"
+    for prot, lam in tl.items():
+        assert lam == sweep_dcn.LAMBDA[(prot, "transformer-M")], (
+            f"run_r4_family_cells.sh transformer lambda for {prot} ({lam}) "
+            "disagrees with sweep_dcn.LAMBDA "
+            f"({sweep_dcn.LAMBDA[(prot, 'transformer-M')]})")

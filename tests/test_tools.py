@@ -166,3 +166,45 @@ def test_render_parity_seed_spread(tmp_path):
             " 4.00 ± 1.00 |") in p.stdout
     assert "SA/solo" not in p.stdout
     assert "P_PPDE_s7.json" in p.stdout
+
+def _spread_cell(d, seed, *, n_iters=10000, path=None):
+    import json
+    (path or (d / f"P_PPDE_s{seed}.json")).write_text(json.dumps(
+        {"protein": "PABP", "sampler": "PPDE", "seed": seed,
+         "run_signature": "fam", "diversity_pct": 90.0,
+         "exploration_mean": 5.0, "exploration_std": 1.0,
+         "n_iters": n_iters, "n_chains": 128,
+         "oracle_logfit": {"p50": 1.0, "p100": 3.0},
+         "steps_per_sec": 800.0}))
+
+
+def test_render_parity_seed_spread_refuses_config_mixes(tmp_path):
+    """A 'seed spread' over cells that differ in n_iters (or that duplicate
+    a seed across two summaries dirs) must be a hard error, not a silent
+    average no single configuration produced."""
+    import subprocess
+
+    d = tmp_path / "sums"
+    d.mkdir()
+    _spread_cell(d, 7)
+    _spread_cell(d, 42, n_iters=1000)  # config mix
+    cmd = [sys.executable, os.path.join(REPO, "tools",
+                                        "render_parity_tables.py"),
+           "--summaries", str(d), "--mnist", "--seed_spread"]
+    p = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
+                       timeout=60)
+    assert p.returncode != 0
+    assert "disagree on n_iters" in p.stderr
+
+    _spread_cell(d, 42)  # fix the mix...
+    d2 = tmp_path / "sums2"
+    d2.mkdir()
+    _spread_cell(d2, 42, path=d2 / "dup.json")  # ...but duplicate a seed
+    p = subprocess.run(cmd[:-2] + [str(d2), "--mnist", "--seed_spread"],
+                       env=ENV, capture_output=True, text=True, timeout=60)
+    assert p.returncode != 0
+    assert "duplicate seeds" in p.stderr
+
+    p = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
+                       timeout=60)  # clean pair renders fine
+    assert p.returncode == 0 and "(n=2)" in p.stdout

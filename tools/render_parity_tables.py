@@ -61,12 +61,23 @@ def _mean_spread(vals: list[float]) -> str:
     return f"{m:.2f} ± {half:.2f}"
 
 
+# a seed-spread group must agree on everything BUT the seed; these are the
+# config fields the cell summaries carry (scripts/directed_evolution.py)
+_SPREAD_CONFIG_KEYS = ("n_iters", "n_chains", "energy_function",
+                       "unsupervised_expert", "energy_lamda",
+                       "nmut_threshold", "reference_reverse")
+
+
 def seed_spread_tables(by_protein: dict) -> None:
     """Aggregate cells that differ ONLY in seed into mean ± half-range rows.
 
     Mirrors the reference's seed-spread presentation (its Tables 1-2 are
     means over seeded runs of scripts/run_ppde_protein_exps.sh); a PARITY
     spread row is auditable back to each member cell via the sources list.
+    Cells sharing (sampler, run_signature) but differing in any other
+    config field, and duplicate seeds (e.g. the same cell present in two
+    --summaries dirs), are a hard error — averaging them would publish a
+    spread no single configuration produced.
     """
     for prot in sorted(by_protein):
         groups: dict[tuple, list[dict]] = {}
@@ -74,6 +85,21 @@ def seed_spread_tables(by_protein: dict) -> None:
             groups.setdefault((s["sampler"], s.get("run_signature", "")),
                               []).append(s)
         rows = {k: v for k, v in groups.items() if len(v) > 1}
+        for (sampler, sig), cells in rows.items():
+            seeds = [c["seed"] for c in cells]
+            if len(set(seeds)) != len(seeds):
+                raise SystemExit(
+                    f"seed spread {prot}/{sampler}/{sig}: duplicate seeds "
+                    f"{seeds} across {[c['_path'] for c in cells]} — the "
+                    "same cell appears in more than one summaries dir")
+            for key in _SPREAD_CONFIG_KEYS:
+                vals = {c.get(key) for c in cells}
+                if len(vals) > 1:
+                    raise SystemExit(
+                        f"seed spread {prot}/{sampler}/{sig}: members "
+                        f"disagree on {key} ({sorted(map(str, vals))}); "
+                        "refusing to average across configs — sources: "
+                        f"{[c['_path'] for c in cells]}")
         if not rows:
             continue
         print(f"\n### {prot} — seed spread\n\n{SPREAD_HEADER}\n{SPREAD_RULE}")
