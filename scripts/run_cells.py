@@ -95,8 +95,7 @@ def r4_evidence_spec() -> list[dict]:
             "--unsupervised_expert", "potts", "--energy_lamda", lam,
             "--n_iters", "10000", "--seed", "1234567",
             "--run_signature", "sup_only")
-    for prot in ["UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
-                 "GFP_AEQVI_Sarkisyan2016"]:
+    for prot in PROTEINS:
         s, lam = SHORT[prot], LAMBDA_POTTS[prot]
         add(f"{s}_PPDE-PT_s1234567", prot, "--sampler", "PPDE-PT",
             "--unsupervised_expert", "potts", "--energy_lamda", lam,

@@ -87,7 +87,8 @@ if [ "$PHASE" = proteins ] || [ "$PHASE" = all ]; then
       --n_iters 10000 --seed 1234567 --run_signature sup_only
   done
   # beyond-reference: full-scale PPDE-PT cells (corrected reverse)
-  for prot in UBE4B_MOUSE_Klevit2013-nscor_log2_ratio \
+  for prot in PABP_YEAST_Fields2013 \
+              UBE4B_MOUSE_Klevit2013-nscor_log2_ratio \
               GFP_AEQVI_Sarkisyan2016; do
     s=${SHORT[$prot]}; lam=${LAMBDA_POTTS[$prot]}
     cell "${s}_PPDE-PT_s1234567" "$prot" --sampler PPDE-PT \

@@ -188,14 +188,14 @@ def test_r4_evidence_spec_parses():
     the batch runner (scripts/run_cells.py) and the per-process driver
     (scripts/run_r4_evidence.sh) must describe the same grid shape:
     3 proteins x (4 exact + 4 refrev seeds + SA/Random/MALA + CMAES +
-    2 ablations) + 2 PT cells = 44."""
+    2 ablations + PT) = 45."""
     from scripts import directed_evolution as de
     from scripts import run_cells
 
     cells = run_cells.r4_evidence_spec()
-    assert len(cells) == 44
+    assert len(cells) == 45
     names = [c["name"] for c in cells]
-    assert len(set(names)) == 44
+    assert len(set(names)) == 45
     parser = de.build_parser()
     for c in cells:
         ns = parser.parse_args(c["argv"])
