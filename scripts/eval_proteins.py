@@ -74,6 +74,8 @@ def update_summaries(run_dir, scores, args):
                     stable = json.load(f)
             except ValueError:
                 stable = None
+            if not isinstance(stable, dict):
+                stable = None  # non-dict JSON = corrupt/placeholder
             if stable:  # {} placeholders are fair game
                 strip = lambda d: {k: v for k, v in d.items()  # noqa: E731
                                    if k not in added}

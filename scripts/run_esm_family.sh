@@ -45,6 +45,6 @@ tools/tpu_run.sh scripts/directed_evolution.py \
   --unsupervised_expert "potts+${MODEL}" --esm_weights "$CKPT" \
   --energy_lamda "$LAMBDA" --n_iters "$SWEEP_ITERS" --n_chains 128 \
   --nmut_threshold 10 --disable_MSA_transformer_scoring \
-  --run_signature "potts+${MODEL}_family" --seed 1234567
+  --run_signature "potts_${MODEL}_family" --seed 1234567
 
 echo "=== done: $CKPT + correlation JSONs + sweep cell" >&2

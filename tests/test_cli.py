@@ -328,6 +328,77 @@ def test_run_cells_contains_systemexit_from_bad_argv(tmp_path, capsys):
     assert "FAILED (exit 2): bad_flag2" in out
     assert "done=0 skipped=0 failed=2" in out
 
+def test_r5_family_spec_parses_and_staleness():
+    """Every cell in the round-5 family grid (3 proteins x 2 experts x 4
+    seeds at the canonical 10k iters) must parse under the CLI parser,
+    target the SAME committed summary path as its round-4 counterpart
+    (in-place upgrade), and carry expect={'n_iters': 10000} so a 2500-iter
+    round-4 summary reads as 'stale' (re-run) while a full-depth one reads
+    'done' (skipped on relaunch)."""
+    from scripts import directed_evolution as de
+    from scripts import run_cells
+
+    cells = run_cells.r5_family_spec()
+    assert len(cells) == 24
+    assert len({c["name"] for c in cells}) == 24
+    parser = de.build_parser()
+    for c in cells:
+        ns = parser.parse_args(c["argv"])
+        assert ns.n_iters == 10000
+        assert ns.msa_size == 500
+        assert ns.summary_json == f"results/esm_family/{c['name']}.json"
+        assert c["expect"] == {"n_iters": 10000}
+        # summary filename and run_signature both use the '_' variant
+        assert "+" not in c["name"]
+        assert "+" not in ns.run_signature
+
+
+def test_summary_state_expect_mismatch_is_stale(tmp_path):
+    """A summary that exists but disagrees with the cell's expect dict is
+    'stale' (re-run); agreeing summaries are 'done'; non-dict JSON is
+    'placeholder'."""
+    import json as _json
+
+    from scripts import run_cells
+
+    path = tmp_path / "s.json"
+    cell = {"name": "c", "expect": {"n_iters": 10000},
+            "argv": ["--summary_json", str(path)]}
+    assert run_cells.summary_state(cell) == "missing"
+    path.write_text(_json.dumps({"n_iters": 2500, "diversity_pct": 1.0}))
+    assert run_cells.summary_state(cell) == "stale"
+    path.write_text(_json.dumps({"n_iters": 10000, "diversity_pct": 1.0}))
+    assert run_cells.summary_state(cell) == "done"
+    path.write_text("[1, 2]")
+    assert run_cells.summary_state(cell) == "placeholder"
+    # without expect, any non-placeholder content is done
+    cell2 = {"name": "c2", "argv": ["--summary_json", str(path)]}
+    assert run_cells.summary_state(cell2) == "done"
+
+
+def test_run_cells_zero_exit_without_summary_counts_failed(tmp_path,
+                                                           capsys):
+    """A cell whose argv exits 0 before sampling (e.g. --help) must be
+    counted FAILED when its summary never materialized — otherwise every
+    relaunch of the queue re-runs it and re-reports success (advisor
+    round-4 finding)."""
+    import json as _json
+
+    import pytest
+
+    from scripts import run_cells
+
+    spec = [{"name": "help_cell", "argv": [
+        "--help", "--summary_json", str(tmp_path / "never.json")]}]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    with pytest.raises(SystemExit):
+        run_cells.main(["--spec", str(spec_path)])
+    out = capsys.readouterr().out
+    assert "FAILED (exit 0 but summary missing): help_cell" in out
+    assert "done=0 skipped=0 failed=1" in out
+
+
 def test_eval_proteins_update_refuses_stale_stable_copy(tmp_path, capsys):
     """--update_summary must never overwrite a tracked stable summary whose
     contents no longer match the run dir being evaluated (i.e. a newer run
