@@ -84,7 +84,14 @@ def build_protein_energy(args) -> tuple[energy_mod.Energy, "object"]:
     wt_onehot = jnp.asarray(codec.seqs_to_onehot(wt_seqs))
     sup = load_supervised_ensemble(protein_dir)
 
-    pp = load_potts(protein_dir)
+    potts_npz = getattr(args, "potts_npz", None)
+    if potts_npz:
+        # explicit fit override (scale-matched / sweep artifacts): the
+        # expert energy and the oracle's evolutionary feature stay coherent
+        # because both take this same params object
+        pp = potts_mod.load_npz(potts_npz, wt_seqs[0])
+    else:
+        pp = load_potts(protein_dir)
 
     # '--unsupervised_expert potts+transformer[-S/M/L]' composes PoE terms
     # (reference energy.py:83-89); the esm2 config key is the transformer
@@ -160,11 +167,14 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         pass
 
 
-def potts_provenance(protein_dir: str) -> str:
+def potts_provenance(protein_dir: str, potts_npz: str | None = None) -> str:
     """Which Potts parameters a run used (PARITY.md's provenance markers):
     'reference-pkl' (the reference's own artifact), 'refit' (our
-    scripts/fit_potts.py npz), or 'synthetic' (deterministic fallback for
-    the proteins whose potts.pkl is a missing upstream blob)."""
+    scripts/fit_potts.py npz), 'npz:<path>' (an explicit --potts_npz
+    override), or 'synthetic' (deterministic fallback for the proteins
+    whose potts.pkl is a missing upstream blob)."""
+    if potts_npz:
+        return f"npz:{potts_npz}"
     if os.path.exists(os.path.join(protein_dir, "potts.pkl")):
         return "reference-pkl"
     if os.path.exists(os.path.join(protein_dir, "potts.npz")):

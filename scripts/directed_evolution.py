@@ -162,7 +162,8 @@ def main(args):
         energy=np.asarray(res.best_energy), potts_scores=potts_score,
         transformer_scores=tscore, steps_per_sec=res.steps_per_sec,
         wall_steps_per_sec=res.wall_steps_per_sec,
-        potts_provenance=runtime.potts_provenance(protein_dir))
+        potts_provenance=runtime.potts_provenance(protein_dir,
+                                                  args.potts_npz))
     with open(results_path / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     if args.summary_json:
@@ -208,6 +209,12 @@ def build_parser():
     g.add_argument("--esm_weights", type=str, default=None,
                    help="path to a fair-esm esm2_t*.pt checkpoint "
                         "(transformer experts)")
+    g.add_argument("--potts_npz", type=str, default=None,
+                   help="override the protein dir's Potts artifact with "
+                        "this save_npz fit (expert energy AND the oracle's "
+                        "evolutionary feature both use it — e.g. the "
+                        "reference-scale-matched artifact from "
+                        "scripts/calibrate_oracle_scale.py)")
     g.add_argument("--msa_transformer_weights", type=str, default=None,
                    help="path to a fair-esm esm_msa1b .pt checkpoint, or a "
                         "family-trained .npz (scripts/finetune_msa.py)")
