@@ -207,6 +207,99 @@ def r5_family_spec(n_iters: int = 10000) -> list[dict]:
     return cells
 
 
+def r5_scalematch_spec() -> list[dict]:
+    """UBE4B canonical cells on the scale-matched Potts artifact.
+
+    VERDICT r4 'Next #1': the refit UBE4B Potts ranks mutants like the
+    missing original but its Hamiltonian is ~4.4x hotter, shifting absolute
+    oracle log-fitness (PPDE p50 0.13 vs paper Table 2's 1.32).
+    scripts/calibrate_oracle_scale.py built a scale-matched artifact
+    (weights/.../potts_scalematched.npz, calibration record in
+    results/qc/ube4b_oracle_scale_calibration.jsonl); these cells re-run the
+    canonical UBE4B grid (PPDE ref-rev + corrected + the four baselines,
+    published lambda=0.5, seed 1234567 — reference README.md:65-72,
+    run_protein_samplers.sh) against it under fresh '-scalematch' summary
+    names so the committed evidence rows stay untouched.
+    """
+    prot = "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio"
+    npz = f"weights/{prot}/potts_scalematched.npz"
+    lam = LAMBDA_POTTS[prot]
+    cells = []
+
+    def add(name, *extra):
+        cells.append({"name": name, "argv": [
+            "--protein", prot, "--n_chains", "128",
+            "--nmut_threshold", "10", "--disable_MSA_transformer_scoring",
+            "--potts_npz", npz, "--unsupervised_expert", "potts",
+            "--energy_lamda", lam, "--seed", "1234567",
+            "--summary_json", f"{SUM}/{name}.json", *extra]})
+
+    add("UBE4B_PPDE-refrev-scalematch_s1234567", "--sampler", "PPDE",
+        "--ppde_reference_reverse", "--n_iters", "10000",
+        "--run_signature", "potts_scalematch")
+    add("UBE4B_PPDE-exact-scalematch_s1234567", "--sampler", "PPDE",
+        "--n_iters", "10000", "--run_signature", "potts_scalematch_exact")
+    for sampler in ["simulated_annealing", "Random", "MALA-approx"]:
+        add(f"UBE4B_{sampler}-scalematch_s1234567", "--sampler", sampler,
+            "--n_iters", "10000", "--run_signature", "potts_scalematch")
+    add("UBE4B_CMAES-scalematch_s1234567", "--sampler", "CMAES",
+        "--n_iters", "1000", "--run_signature", "potts_scalematch")
+    return cells
+
+
+def r5_baseline_seeds_spec() -> list[dict]:
+    """Seed-spread for the non-PPDE baselines (VERDICT r4 'Next #4').
+
+    PPDE has a 12-cell seed-spread table; Random/SA/MALA/CMA-ES rows rest
+    on seed 1234567 alone. These are the identical canonical configs
+    (r4_evidence_spec) at seeds 7/42/2024, all three proteins — the
+    baseline signatures (flat-line SA, degenerate CMA-ES population)
+    should replicate like PPDE's.
+    """
+    cells = []
+
+    def add(name, prot, *extra):
+        cells.append({"name": name, "argv": [
+            "--protein", prot, "--n_chains", "128",
+            "--nmut_threshold", "10", "--disable_MSA_transformer_scoring",
+            "--summary_json", f"{SUM}/{name}.json", *extra]})
+
+    for prot in PROTEINS:
+        s, lam = SHORT[prot], LAMBDA_POTTS[prot]
+        for seed in ["7", "42", "2024"]:
+            for sampler in ["simulated_annealing", "Random", "MALA-approx"]:
+                add(f"{s}_{sampler}_s{seed}", prot, "--sampler", sampler,
+                    "--unsupervised_expert", "potts", "--energy_lamda",
+                    lam, "--n_iters", "10000", "--seed", seed,
+                    "--run_signature", "potts")
+            add(f"{s}_CMAES_s{seed}", prot, "--sampler", "CMAES",
+                "--unsupervised_expert", "potts", "--energy_lamda", lam,
+                "--n_iters", "1000", "--seed", seed,
+                "--run_signature", "potts")
+    return cells
+
+
+def r5_mnist_cmaes_spec() -> list[dict]:
+    """The missing MNIST CMA-ES wild-type pairs (VERDICT r4 'Next #7').
+
+    PPDE/SA/MALA cover all five committed pairs at the canonical 20k-iter
+    config; CMA-ES covers pairs 0 (r4fullwt) and 1 (r4full) only.
+    Reference mnist_sum.py runs any pair (:92-109)."""
+    cells = []
+    for wt in ("2", "3", "4"):
+        sfx = f"r4full_wt{wt}"
+        name = f"CMAES_product_of_experts_{sfx}"
+        cells.append({"name": name, "module": "mnist",
+                      "done_file": f"results/mnist/{name}"
+                                   "_final_population.npy",
+                      "argv": ["--n_chains", "128", "--log_every", "100",
+                               "--seed", "1234567", "--sampler", "CMAES",
+                               "--energy_lamda", "10", "--n_iters",
+                               "20000", "--wild_type", wt,
+                               "--suffix", sfx]})
+    return cells
+
+
 def summary_state(cell) -> str:
     """'missing' | 'placeholder' | 'stale' | 'done' for the cell's summary.
 
@@ -255,6 +348,15 @@ def main(argv=None):
     ap.add_argument("--r5_family", action="store_true",
                     help="the 24 family-expert cells at canonical depth "
                          "(see r5_family_spec)")
+    ap.add_argument("--r5_scalematch", action="store_true",
+                    help="UBE4B canonical cells on the scale-matched "
+                         "Potts artifact (see r5_scalematch_spec)")
+    ap.add_argument("--r5_baseline_seeds", action="store_true",
+                    help="seed-spread for the non-PPDE baselines "
+                         "(see r5_baseline_seeds_spec)")
+    ap.add_argument("--r5_mnist_cmaes", action="store_true",
+                    help="the missing MNIST CMA-ES wild-type pairs "
+                         "(see r5_mnist_cmaes_spec)")
     ap.add_argument("--family_iters", type=int, default=10000,
                     help="sweep depth for --r5_family cells")
     ap.add_argument("--write_placeholders", action="store_true",
@@ -273,6 +375,12 @@ def main(argv=None):
         cells = r4_mnist_extras_spec()
     elif args.r5_family:
         cells = r5_family_spec(args.family_iters)
+    elif args.r5_scalematch:
+        cells = r5_scalematch_spec()
+    elif args.r5_baseline_seeds:
+        cells = r5_baseline_seeds_spec()
+    elif args.r5_mnist_cmaes:
+        cells = r5_mnist_cmaes_spec()
     elif args.spec:
         with open(args.spec) as f:
             cells = json.load(f)

@@ -353,6 +353,45 @@ def test_r5_family_spec_parses_and_staleness():
         assert "+" not in ns.run_signature
 
 
+def test_r5_spec_builders_parse():
+    """The three round-5 evidence grids must parse under their CLI parsers
+    with unique names: the 6 UBE4B scale-matched canonical cells (all
+    carrying --potts_npz of the calibrated artifact), the 36 baseline
+    seed-spread cells (3 proteins x [SA/Random/MALA/CMAES] x seeds
+    7/42/2024, exact canonical configs), and the 3 missing MNIST CMA-ES
+    wild-type pairs (canonical 20k-iter config, pairs 2-4)."""
+    from scripts import directed_evolution as de
+    from scripts import mnist_sum as ms
+    from scripts import run_cells
+
+    de_parser = de.build_parser()
+
+    cells = run_cells.r5_scalematch_spec()
+    assert len(cells) == len({c["name"] for c in cells}) == 6
+    for c in cells:
+        ns = de_parser.parse_args(c["argv"])
+        assert ns.potts_npz.endswith("potts_scalematched.npz")
+        assert ns.energy_lamda == 0.5 and ns.seed == 1234567
+        assert "scalematch" in ns.run_signature
+
+    cells = run_cells.r5_baseline_seeds_spec()
+    assert len(cells) == len({c["name"] for c in cells}) == 36
+    for c in cells:
+        ns = de_parser.parse_args(c["argv"])
+        assert ns.seed in (7, 42, 2024)
+        assert ns.sampler != "PPDE"  # PPDE's seed spread is round-4 evidence
+        assert ns.n_iters == (1000 if ns.sampler == "CMAES" else 10000)
+
+    mnist_parser = ms.build_parser()
+    cells = run_cells.r5_mnist_cmaes_spec()
+    assert len(cells) == len({c["name"] for c in cells}) == 3
+    for c in cells:
+        assert c["module"] == "mnist"
+        ns = mnist_parser.parse_args(c["argv"])
+        assert ns.sampler == "CMAES" and ns.n_iters == 20000
+        assert ns.wild_type in (2, 3, 4)
+
+
 def test_summary_state_expect_mismatch_is_stale(tmp_path):
     """A summary that exists but disagrees with the cell's expect dict is
     'stale' (re-run); agreeing summaries are 'done'; non-dict JSON is
