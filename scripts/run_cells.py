@@ -179,7 +179,10 @@ def r5_family_spec(n_iters: int = 10000) -> list[dict]:
             "data/proteins/synthetic/GFP_AEQVI_Sarkisyan2016_synth.a2m",
     }
     cells = []
-    for prot in PROTEINS:
+    # UBE4B first: it is the one real-MSA protein, so if a sweep is cut
+    # short the flagship cells land before the synthetic-family ones.
+    order = sorted(PROTEINS, key=lambda p: SHORT[p] != "UBE4B")
+    for prot in order:
         s = SHORT[prot]
         lam = format(_LAM[(prot, "transformer-M")], "g")  # published λ
         ckpt = f"results/esm_family/{prot}_transformer-S_ckpt_4000.npz"
