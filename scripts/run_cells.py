@@ -41,6 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SUM = "results/proteins/summaries"
 
+# touch this file to make a running queue exit cleanly after its current
+# cell (deadline-safe TPU-claim release; see the loop in main)
+STOP_FILE = "/tmp/r5_stop"
+
 PROTEINS = ["PABP_YEAST_Fields2013",
             "UBE4B_MOUSE_Klevit2013-nscor_log2_ratio",
             "GFP_AEQVI_Sarkisyan2016"]
@@ -419,6 +423,14 @@ def main(argv=None):
     mains = {"de": de.main, "mnist": ms.main}
     done = failed = skipped = 0
     for c in cells:
+        if os.path.exists(STOP_FILE):
+            # Graceful deadline stop: finish the current cell, release the
+            # exclusive TPU claim cleanly (a SIGKILL mid-claim wedges the
+            # server-side grant ~25-30 min, CLAUDE.md), leave the rest for
+            # an idempotent relaunch.
+            print(f"[run_cells] stop file {STOP_FILE} present — draining "
+                  "queue early", flush=True)
+            break
         state = summary_state(c)
         if state == "done" and not args.force:
             skipped += 1
