@@ -76,30 +76,38 @@ def seed_spread_tables(by_protein: dict) -> None:
     spread row is auditable back to each member cell via the sources list.
     Cells sharing (sampler, run_signature) but differing in any other
     config field, and duplicate seeds (e.g. the same cell present in two
-    --summaries dirs), are a hard error — averaging them would publish a
-    spread no single configuration produced.
+    --summaries dirs), would publish a spread no single configuration
+    produced: those groups are SKIPPED with a loud stderr note and the
+    process exits nonzero, but the clean groups still render (a half-
+    upgraded grid — e.g. mid 2500→10000-iter re-run — must not block the
+    tables for every other protein).
     """
+    import sys
+    bad = 0
     for prot in sorted(by_protein):
         groups: dict[tuple, list[dict]] = {}
         for s in by_protein[prot]:
             groups.setdefault((s["sampler"], s.get("run_signature", "")),
                               []).append(s)
         rows = {k: v for k, v in groups.items() if len(v) > 1}
-        for (sampler, sig), cells in rows.items():
+        for (sampler, sig), cells in sorted(rows.items()):
             seeds = [c["seed"] for c in cells]
+            problems = []
             if len(set(seeds)) != len(seeds):
-                raise SystemExit(
-                    f"seed spread {prot}/{sampler}/{sig}: duplicate seeds "
-                    f"{seeds} across {[c['_path'] for c in cells]} — the "
-                    "same cell appears in more than one summaries dir")
+                problems.append(
+                    f"duplicate seeds {seeds} — the same cell appears in "
+                    "more than one summaries dir")
             for key in _SPREAD_CONFIG_KEYS:
                 vals = {c.get(key) for c in cells}
                 if len(vals) > 1:
-                    raise SystemExit(
-                        f"seed spread {prot}/{sampler}/{sig}: members "
-                        f"disagree on {key} ({sorted(map(str, vals))}); "
-                        "refusing to average across configs — sources: "
-                        f"{[c['_path'] for c in cells]}")
+                    problems.append(f"members disagree on {key} "
+                                    f"({sorted(map(str, vals))})")
+            if problems:
+                bad += 1
+                del rows[(sampler, sig)]
+                print(f"seed spread {prot}/{sampler}/{sig}: SKIPPED — "
+                      + "; ".join(problems) + " — sources: "
+                      + str([c['_path'] for c in cells]), file=sys.stderr)
         if not rows:
             continue
         print(f"\n### {prot} — seed spread\n\n{SPREAD_HEADER}\n{SPREAD_RULE}")
@@ -114,6 +122,8 @@ def seed_spread_tables(by_protein: dict) -> None:
         for (sampler, sig), cells in sorted(rows.items()):
             for c in sorted(cells, key=lambda s: str(s["seed"])):
                 print(f"  {sampler}/{sig}/s{c['seed']}: {c['_path']}")
+    if bad:
+        raise SystemExit(f"{bad} inconsistent seed-spread group(s) skipped")
 
 
 def main():
