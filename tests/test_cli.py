@@ -328,6 +328,27 @@ def test_run_cells_contains_systemexit_from_bad_argv(tmp_path, capsys):
     assert "FAILED (exit 2): bad_flag2" in out
     assert "done=0 skipped=0 failed=2" in out
 
+def test_run_cells_stop_file_drains_queue(tmp_path, capsys, monkeypatch):
+    """A present stop file must make the queue exit BEFORE starting another
+    cell (graceful deadline drain of the exclusive TPU claim) — no cell
+    runs, no failure is recorded."""
+    import json as _json
+
+    from scripts import run_cells
+
+    stop = tmp_path / "stop"
+    stop.write_text("")
+    monkeypatch.setattr(run_cells, "STOP_FILE", str(stop))
+    spec = [{"name": "never_runs", "argv": [
+        "--no_such_flag", "--summary_json", str(tmp_path / "s.json")]}]
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    run_cells.main(["--spec", str(spec_path)])  # must NOT raise: 0 failed
+    out = capsys.readouterr().out
+    assert "stop file" in out and "draining queue early" in out
+    assert "done=0 skipped=0 failed=0" in out
+
+
 def test_r5_family_spec_parses_and_staleness():
     """Every cell in the round-5 family grid (3 proteins x 2 experts x 4
     seeds at the canonical 10k iters) must parse under the CLI parser,
