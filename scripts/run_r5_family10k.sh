@@ -23,10 +23,26 @@ declare -A MSA=(
   [$GFP]=data/proteins/synthetic/${GFP}_synth.a2m
 )
 
+cells_pending () {  # any of the protein's 8 family summaries missing/short?
+  local prot=$1 f
+  local short=${prot%%_*}
+  for expert in "potts_transformer-S" "transformer-S"; do
+    for seed in 1234567 7 42 2024; do
+      f="results/esm_family/${short}_PPDE-${expert}_family_s${seed}.json"
+      grep -q '"n_iters": 10000' "$f" 2>/dev/null || return 0
+    done
+  done
+  return 1
+}
+
 for prot in $UBE4B $PABP $GFP; do
   ckpt=results/esm_family/${prot}_transformer-S_ckpt_4000.npz
   if [ -f "$ckpt" ]; then
     echo "=== [skip] expert exists: $ckpt" >&2
+    continue
+  fi
+  if ! cells_pending "$prot"; then
+    echo "=== [skip] all 8 family cells done at 10k, expert not needed: $prot" >&2
     continue
   fi
   echo "=== retrain family expert: $prot" >&2
