@@ -81,6 +81,15 @@ def main(args):
 
     print(json.dumps(rows, indent=2))
     if args.out_json:
+        if args.merge and os.path.exists(args.out_json):
+            # Raw run artifacts (*_final_population.npy) are untracked and
+            # get cleaned between sessions; --merge upserts the freshly
+            # scored rows into the tracked summary by "run" key instead of
+            # clobbering rows whose artifacts no longer exist on disk.
+            with open(args.out_json) as f:
+                existing = {r["run"]: r for r in json.load(f)}
+            existing.update({r["run"]: r for r in rows})
+            rows = [existing[k] for k in sorted(existing)]
         with open(args.out_json, "w") as f:
             json.dump(rows, f, indent=2)
 
@@ -94,4 +103,7 @@ if __name__ == "__main__":
     p.add_argument("--data_dir", type=str, default="data/mnist")
     p.add_argument("--out_json", type=str, default="")
     p.add_argument("--score_ebm", action="store_true")
+    p.add_argument("--merge", action="store_true",
+                   help="upsert rows into an existing --out_json by run "
+                        "name instead of overwriting the whole file")
     main(p.parse_args())
