@@ -12,6 +12,11 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# Reference-artifact symlinks (wt.fasta, oracle pkls, mnist ensemble .pt)
+# are untracked and get cleaned between sessions — self-heal first.
+[ -e weights/GFP_AEQVI_Sarkisyan2016/wt.fasta ] \
+  || bash tools/link_reference_weights.sh
+
 echo "=== [stage 1/4] baseline seed-spread stragglers" >&2
 tools/tpu_run.sh scripts/run_cells.py --r5_baseline_seeds \
   || echo "[r5rem] stage 1 FAILED (continuing)" >&2
