@@ -172,6 +172,16 @@ def bench_mnist(steps: int, warmup: int, n_chains: int = N_CHAINS) -> float:
     from ppde_tpu.samplers.mnist import ppde as mnist_ppde
 
     root = os.path.dirname(os.path.abspath(__file__))
+    # The torch ensemble ckpts + wild-type npys are SYMLINKS into
+    # /root/reference, untracked and cleaned between sessions — self-heal
+    # so a driver-run bench never dies on a missing link.
+    if not os.path.exists(os.path.join(root, "weights", "mnist_models",
+                                       "ensemble_0_ckpt_25000.pt")):
+        import subprocess
+        subprocess.run(
+            ["bash", os.path.join(root, "tools",
+                                  "link_reference_weights.sh")],
+            check=False)
     args = types.SimpleNamespace(
         mnist_weights=os.path.join(root, "weights", "mnist_models"),
         data_dir=os.path.join(root, "data", "mnist"),
