@@ -122,6 +122,23 @@ def test_family_run_signature_matches_committed_evidence(tmp_path):
     assert not any("+" in s for s in sigs)
 
 
+def test_family_shell_scripts_use_underscore_signature():
+    """Same invariant for the SHELL drivers (round-4 advisor): a script
+    passing --run_signature "potts+<model>_family" would silently split a
+    seed-spread group into two renderer rows."""
+    import pathlib
+    import re
+
+    scripts = pathlib.Path(__file__).resolve().parents[1] / "scripts"
+    for sh in scripts.glob("*.sh"):
+        text = sh.read_text()
+        for m in re.finditer(r'--run_signature\s+"([^"]*)"', text):
+            sig = m.group(1)
+            # literal '+' only; shell expansions like $(tr '+' '_') are fine
+            assert "+" not in re.sub(r"\$\([^)]*\)|\$\{[^}]*\}", "", sig), \
+                f"{sh.name}: run_signature {sig!r} uses the '+' variant"
+
+
 def test_discover_family_tolerates_noninteger_ckpt_suffixes(tmp_path):
     """Stray files the *_ckpt_*.npz glob matches but whose step suffix is
     not a bare integer (ckpt_final.npz, ckpt_4000_best.npz) must be
